@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler similarity (Winkler 1990, standard parameters: prefix
+  * scale p = 0.1, max prefix 4, boost threshold 0.7).
+  *
+  * SURVEY.md §2.3 F7 / §4.2: Spark has no built-in (levenshtein yes, JW
+  * no), and BASELINE.json north_star requires batched codegen scoring —
+  * so this is a native Catalyst `BinaryExpression` with `doGenCode`
+  * emitting a static call, keeping pair scoring inside whole-stage
+  * codegen (a Scala UDF would break the codegen span and box rows).
+  *
+  * Semantics match DuckDB's `jaro_winkler_similarity` (validated in
+  * ScoringSpec against golden values, e.g. JW("MARTHA","MARHTA")=0.9611)
+  * so the driver's DuckDB oracle can check scored pairs exactly (after
+  * rounding).
+  */
+object JaroWinkler {
+
+  /** Pure implementation; called from generated code — keep it static. */
+  def similarity(s1: UTF8String, s2: UTF8String): Double =
+    similarity(s1.toString, s2.toString)
+
+  def similarity(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 && len2 == 0) return 1.0
+    if (len1 == 0 || len2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+
+    val matchDist = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val matched1 = new Array[Boolean](len1)
+    val matched2 = new Array[Boolean](len2)
+    var m = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - matchDist)
+      val hi = math.min(len2 - 1, i + matchDist)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+          matched1(i) = true; matched2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+
+    // transpositions: matched chars out of order / 2
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < len1) {
+      if (matched1(i)) {
+        while (!matched2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mm = m.toDouble
+    val jaro = (mm / len1 + mm / len2 + (mm - t / 2.0) / mm) / 3.0
+
+    if (jaro <= 0.7) jaro
+    else {
+      var l = 0
+      val maxL = math.min(4, math.min(len1, len2))
+      while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  /** Column-API entry point. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    graft.functions.ColumnBridge.toColumn(
+      JaroWinklerExpr(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+}
+
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinkler.similarity($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaro_winkler"
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** B1–B4 (SURVEY.md §2.4): blocking-key tables. The reference builds
+  * in-memory inverted indexes value → record-id set split into strong /
+  * weak blocks (reference: python/blocking.py::BlockingScheme [PK-high,
+  * SURVEY.md §0]); here a block is purely *logical* — a row
+  * (conv_id, bkey) — and grouping is deferred to the pair self-join so
+  * Catalyst/AQE pick the physical strategy.
+  *
+  * Three block families:
+  *  - strong: exact tool-signature keys ("T:...")
+  *  - weak/token: rare tokens (document frequency ≤ cap) ("W:...")
+  *  - weak/LSH: MinHash band keys ("M|...")
+  */
+object Blocking {
+
+  /** Tokens with df above this are useless as blocks (Zipf hot keys) —
+    * they are excluded BEFORE pairing, mirroring the reference's
+    * max_block_size defense.
+    */
+  val DefaultTokenDfCap = 50
+
+  def strongBlocks(records: DataFrame): DataFrame =
+    records.select(col("conv_id"), explode(col("strong_keys")).as("bkey"))
+
+  /** Weak blocks from rare tokens: explode the token set, keep tokens
+    * whose document frequency ≤ cap. The df filter is an aggregation +
+    * self-join on the exploded table (same shuffle key, co-located).
+    */
+  def tokenBlocks(records: DataFrame, dfCap: Int = DefaultTokenDfCap): DataFrame = {
+    val exploded = records.select(col("conv_id"), explode(col("token_set")).as("tok"))
+    val rare = exploded.groupBy("tok").count().filter(col("count") <= dfCap)
+      .select(col("tok"))
+    exploded.join(rare, "tok")
+      .select(col("conv_id"), concat(lit("W:"), col("tok")).as("bkey"))
+  }
+
+  def minhashBlocks(records: DataFrame): DataFrame =
+    records.select(col("conv_id"), explode(col("mh_bands")).as("bkey"))
+
+  /** All block families unioned. */
+  def allBlocks(records: DataFrame, tokenDfCap: Int = DefaultTokenDfCap): DataFrame =
+    strongBlocks(records)
+      .unionByName(tokenBlocks(records, tokenDfCap))
+      .unionByName(minhashBlocks(records))
+
+  /** Per-key block sizes — telemetry + input to the cap/salt decisions
+    * (reference BlockingScheme.max_block_size analogue).
+    */
+  def blockSizes(blocks: DataFrame): DataFrame =
+    blocks.groupBy("bkey").agg(count(lit(1)).as("block_size"))
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E1–E3 (SURVEY.md §2.11): evaluation operators, mirroring the
+  * reference's Metrics family (reference: python/metrics.py::Metrics
+  * [PK-high, SURVEY.md §0]; metric families per arXiv:1509.04238,
+  * Barnes 2015).
+  *
+  * The acceptance metric (BASELINE.json:2) is pairwise F1 on labeled
+  * pairs *at shared blocking keys*: both truth- and predicted-induced
+  * pairs are restricted to a candidate universe before counting.
+  */
+object ErMetrics {
+
+  /** Unordered pairs induced by a labeling: same-label self-join with
+    * a < b. Quadratic in cluster size — fine for ER-scale clusters;
+    * monster clusters would already have been stopped by blocking caps.
+    */
+  def inducedPairs(labels: DataFrame): DataFrame = {
+    val a = labels.select(col("entity_id"), col("conv_id").as("a_id"))
+    val b = labels.select(col("entity_id"), col("conv_id").as("b_id"))
+    a.join(b, Seq("entity_id")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** E1: pairwise precision / recall / F1.
+    *
+    * @param universe optional candidate universe (a_id, b_id) — when
+    *   given, both sides are intersected with it (the "at shared blocking
+    *   keys" restriction); pass None for unrestricted pairwise metrics.
+    */
+  def pairwise(truthLabels: DataFrame, predLabels: DataFrame,
+      universe: Option[DataFrame] = None): DataFrame = {
+    def restrict(p: DataFrame): DataFrame = universe match {
+      case Some(u) => p.join(u, Seq("a_id", "b_id"), "left_semi")
+      case None => p
+    }
+    val truth = restrict(inducedPairs(truthLabels))
+    val pred = restrict(inducedPairs(predLabels))
+    val tp = pred.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+    val fp = pred.join(truth, Seq("a_id", "b_id"), "left_anti").count()
+    val fn = truth.join(pred, Seq("a_id", "b_id"), "left_anti").count()
+    val spark = truthLabels.sparkSession
+    val precision = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+    val recall = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+    val f1 =
+      if (precision + recall == 0) 0.0
+      else 2 * precision * recall / (precision + recall)
+    import spark.implicits._
+    Seq((tp, fp, fn, precision, recall, f1))
+      .toDF("tp", "fp", "fn", "precision", "recall", "f1")
+  }
+
+  /** E2: B-cubed precision / recall / F1 (Bagga & Baldwin 1998) — one
+    * join + two aggs, per SURVEY.md §2.11.
+    */
+  def bcubed(truthLabels: DataFrame, predLabels: DataFrame): DataFrame = {
+    val joined = truthLabels.select(col("conv_id"), col("entity_id").as("t"))
+      .join(predLabels.select(col("conv_id"), col("entity_id").as("p")), "conv_id")
+    val cellSizes = joined.groupBy("t", "p").agg(count(lit(1)).as("ci"))
+    val tSizes = joined.groupBy("t").agg(count(lit(1)).as("ct"))
+    val pSizes = joined.groupBy("p").agg(count(lit(1)).as("cp"))
+    // per-record precision = ci/cp, recall = ci/ct; each (t,p) cell holds
+    // ci records, so weight cell contributions by ci.
+    val perCell = cellSizes.join(tSizes, "t").join(pSizes, "p")
+      .select(
+        (col("ci") * col("ci") / col("cp")).as("psum"),
+        (col("ci") * col("ci") / col("ct")).as("rsum"),
+        col("ci"))
+    val row = perCell.agg(
+      sum("psum").as("ps"), sum("rsum").as("rs"), sum("ci").as("n")).head()
+    val n = row.getLong(2).toDouble
+    val bp = row.getDouble(0) / n
+    val br = row.getDouble(1) / n
+    val bf = if (bp + br == 0) 0.0 else 2 * bp * br / (bp + br)
+    val spark = truthLabels.sparkSession
+    import spark.implicits._
+    Seq((bp, br, bf)).toDF("bcubed_precision", "bcubed_recall", "bcubed_f1")
+  }
+
+  /** E3: cluster-size histogram (size → number of clusters of that size). */
+  def clusterSizeHistogram(labels: DataFrame): DataFrame =
+    labels.groupBy("entity_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+}

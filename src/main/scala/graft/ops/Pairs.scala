@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J1–J3 (SURVEY.md §2.5): within-block candidate-pair generation.
+  *
+  * The reference compares records procedurally inside each block
+  * (reference: entityresolution.py::rswoosh nested loop [PK-high]); here
+  * it is a self equi-join on the block key with `a.conv_id < b.conv_id`
+  * dedup of unordered pairs, followed by a cross-key `dropDuplicates`
+  * (one pair can share many keys).
+  *
+  * Skew defense in depth (SURVEY.md §7.4, BASELINE.json north_star):
+  *  1. oversized blocks (> `blockSizeCap`) are DROPPED with telemetry —
+  *     the reference's max_block_size semantics;
+  *  2. kept-but-hot blocks (> `hotThreshold`) go through a *salted*
+  *     self-join: each side is replicated across salt buckets so no
+  *     single shuffle key carries a whole hot block, with full cross-salt
+  *     pair completion (no pairs lost);
+  *  3. AQE skew-join splitting backs the cold path at runtime.
+  */
+object Pairs {
+
+  case class PairConfig(
+      blockSizeCap: Int = 1000,
+      hotThreshold: Int = 64,
+      saltBuckets: Int = 8)
+
+  /** Self-join within block keys → distinct unordered pairs (a_id < b_id). */
+  def candidatePairs(blocks: DataFrame, cfg: PairConfig = PairConfig()): DataFrame = {
+    val sizes = Blocking.blockSizes(blocks)
+    val sized = blocks.join(sizes, "bkey")
+      .filter(col("block_size") <= cfg.blockSizeCap)
+
+    val cold = sized.filter(col("block_size") <= cfg.hotThreshold)
+      .select(col("bkey"), col("conv_id"))
+    val hot = sized.filter(col("block_size") > cfg.hotThreshold)
+      .select(col("bkey"), col("conv_id"))
+
+    joinWithin(cold)
+      .unionByName(saltedJoinWithin(hot, cfg.saltBuckets))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Count of conversations in dropped (oversized) blocks — must be
+    * reported, never silent (SURVEY.md §7.4 risk 2).
+    */
+  def droppedBlockStats(blocks: DataFrame, cfg: PairConfig = PairConfig()): DataFrame =
+    Blocking.blockSizes(blocks)
+      .filter(col("block_size") > cfg.blockSizeCap)
+      .agg(count(lit(1)).as("dropped_blocks"),
+        coalesce(sum(col("block_size")), lit(0L)).as("dropped_rows"))
+
+  private def joinWithin(blocks: DataFrame): DataFrame = {
+    val a = blocks.select(col("bkey"), col("conv_id").as("a_id"))
+    val b = blocks.select(col("bkey"), col("conv_id").as("b_id"))
+    a.join(b, Seq("bkey")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Salted within-block self-join with cross-salt completion.
+    *
+    * Row with salt u joins as the a-side under keys (bkey, u, j) ∀ j ≥ u
+    * and as the b-side under keys (bkey, i, u) ∀ i ≤ u. Every unordered
+    * pair (salts u ≤ v) meets exactly under (bkey, u, v); the
+    * `a_id < b_id` filter dedups the u == v bucket. Replication factor
+    * (s+1)/2 per side, shuffle key fan-out s(s+1)/2 per hot block.
+    */
+  def saltedJoinWithin(blocks: DataFrame, s: Int): DataFrame = {
+    val salted = blocks.withColumn("salt",
+      pmod(xxhash64(col("conv_id")), lit(s.toLong)).cast("int"))
+    val aSide = salted
+      .withColumn("j", explode(sequence(col("salt"), lit(s - 1))))
+      .select(col("bkey"), col("salt").as("i"), col("j"), col("conv_id").as("a_id"))
+    val bSide = salted
+      .withColumn("i", explode(sequence(lit(0), col("salt"))))
+      .select(col("bkey"), col("i"), col("salt").as("j"), col("conv_id").as("b_id"))
+    aSide.join(bSide, Seq("bkey", "i", "j"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** J3: hydrate pairs with the per-conversation feature columns needed
+    * by scoring. Two equi-joins; Catalyst/AQE broadcast if small.
+    */
+  def hydrate(pairs: DataFrame, records: DataFrame): DataFrame = {
+    val slim = records.select(
+      col("conv_id"), col("token_set"), col("first_text"),
+      col("strong_keys"), col("ts0"), col("n_turns"))
+    val a = slim.toDF(slim.columns.map("a_" + _): _*)
+    val b = slim.toDF(slim.columns.map("b_" + _): _*)
+    pairs
+      .join(a, col("a_id") === col("a_conv_id")).drop("a_conv_id")
+      .join(b, col("b_id") === col("b_conv_id")).drop("b_conv_id")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.ParquetTableIO
+import graft.ops._
+
+/** EP1′ (SURVEY.md §3.2): the flagship end-to-end ER run —
+  * transcripts → collapse → features → blocks → candidate pairs →
+  * scored pairs → connected-components loop → entity labels — with every
+  * stage checkpointed through TableIO and manifest-driven resume: a
+  * rerun (including a kill mid-clustering) skips stages whose manifest
+  * carries the same input fingerprint, so the run is idempotent
+  * (BASELINE.json north_rule "resumable from checkpoint").
+  */
+object Pipeline {
+
+  case class Config(
+      checkpointRoot: String,
+      matchType: String = "weak_strong",
+      jaccardThreshold: Double = Scoring.DefaultJaccardThreshold,
+      tokenDfCap: Int = Blocking.DefaultTokenDfCap,
+      pairCfg: Pairs.PairConfig = Pairs.PairConfig(),
+      runId: String = "run0",
+      auditInvariant: Boolean = true)
+
+  /** Cheap order-independent input fingerprint: one scan, (row count,
+    * XOR of row hashes — overflow-free at any scale) over the
+    * identity-carrying columns.
+    */
+  def fingerprint(transcripts: DataFrame): String = {
+    val row = transcripts.agg(
+      count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text"))), lit(0L))
+    ).head()
+    s"${row.getLong(0)}-${row.getLong(1)}"
+  }
+
+  def run(spark: SparkSession, transcripts: DataFrame, cfg: Config): DataFrame = {
+    val io = new ParquetTableIO(cfg.checkpointRoot)
+    val fp = fingerprint(transcripts)
+
+    def manifestFp(stage: String): Option[String] = {
+      val p = Paths.get(cfg.checkpointRoot, stage, "_manifest.json")
+      if (!Files.exists(p)) None
+      else "\"input_fingerprint\":\"([^\"]*)\"".r
+        .findFirstMatchIn(Files.readString(p)).map(_.group(1))
+    }
+
+    /** Compute-or-resume one stage. */
+    def stage(name: String)(compute: => DataFrame): DataFrame =
+      if (io.exists(name) && manifestFp(name).contains(fp)) io.read(spark, name)
+      else {
+        io.dropFrom(name)
+        io.write(compute, name, cfg.runId, fp)
+      }
+
+    val records = stage("records") {
+      Features.enrich(Collapse.collapse(transcripts))
+    }
+
+    if (cfg.auditInvariant) {
+      val violations = Collapse.invariantViolations(transcripts, records).count()
+      require(violations == 0L,
+        s"per-turn text-equality invariant violated: $violations rows")
+    }
+
+    val blocks = stage("blocks") {
+      Blocking.allBlocks(records, cfg.tokenDfCap)
+    }
+
+    val pairs = stage("pairs") {
+      Pairs.candidatePairs(blocks, cfg.pairCfg)
+    }
+
+    val scored = stage("scored") {
+      Scoring.score(Pairs.hydrate(pairs, records), cfg.matchType,
+        cfg.jaccardThreshold)
+    }
+
+    val entities = stage("entities") {
+      val edges = Scoring.matchEdges(scored)
+      val nodes = records.select(col("conv_id"))
+      // Each CC iteration checkpoints durably — the "resumes idempotently
+      // mid-clustering" requirement: a killed run's completed iterations
+      // are read back, not recomputed.
+      ConnectedComponents.run(edges, nodes,
+        checkpoint = (df, i) => stage(s"cc_iter_$i")(df))
+    }
+    entities
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.TranscriptRow
+import graft.ops.{Collapse, Features}
+
+class CollapseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private val fixture = Seq(
+    // deliberately out of order: collapse must restore (conv_id, turn_idx)
+    TranscriptRow("c2", 1, "assistant", "world", None, ts(11)),
+    TranscriptRow("c1", 2, "user", "gamma delta", None, ts(2)),
+    TranscriptRow("c1", 0, "user", "alpha beta", None, ts(0)),
+    TranscriptRow("c2", 0, "user", "hello", Some("search(a1)"), ts(10)),
+    TranscriptRow("c1", 1, "assistant", "beta gamma", Some("calc(a2)"), ts(1))
+  ).toDS().toDF()
+
+  test("collapse restores stable turn order") {
+    val recs = Collapse.collapse(fixture)
+    val c1 = recs.filter($"conv_id" === "c1")
+      .select(expr("transform(turns, t -> t.text)")).as[Seq[String]].head()
+    assert(c1 == Seq("alpha beta", "beta gamma", "gamma delta"))
+  }
+
+  test("explodeBack inverts collapse exactly (per-row invariant)") {
+    val recs = Collapse.collapse(fixture)
+    assert(Collapse.invariantViolations(fixture, recs).count() == 0)
+    val back = Collapse.explodeBack(recs)
+    assert(back.count() == fixture.count())
+    assert(back.except(fixture).count() == 0 && fixture.except(back).count() == 0)
+  }
+
+  test("enrich: text_all, tokens, shingles, strong keys") {
+    val recs = Features.enrich(Collapse.collapse(fixture))
+    val c1 = recs.filter($"conv_id" === "c1").head()
+    def arr(row: org.apache.spark.sql.Row, name: String): Seq[String] =
+      row.getAs[scala.collection.Seq[String]](name).toSeq
+    assert(c1.getAs[String]("text_all") == "alpha beta beta gamma gamma delta")
+    assert(arr(c1, "tokens") ==
+      Seq("alpha", "beta", "beta", "gamma", "gamma", "delta"))
+    assert(arr(c1, "token_set") == Seq("alpha", "beta", "delta", "gamma"))
+    assert(arr(c1, "shingles").contains("alpha beta beta"))
+    assert(arr(c1, "strong_keys") == Seq("T:calc(a2)"))
+    assert(c1.getAs[Int]("n_turns") == 3)
+    val c2 = recs.filter($"conv_id" === "c2").head()
+    assert(arr(c2, "strong_keys") == Seq("T:search(a1)"))
+    // shingles of a 2-token conv are empty, not an error
+    assert(arr(c2, "shingles").isEmpty)
+  }
+
+  test("minhash bands: identical token sets share all bands, stable") {
+    val recs = Features.enrich(Collapse.collapse(fixture))
+    val bands1 = recs.filter($"conv_id" === "c1").select($"mh_bands").as[Seq[String]].head()
+    val again = Features.enrich(Collapse.collapse(fixture))
+      .filter($"conv_id" === "c1").select($"mh_bands").as[Seq[String]].head()
+    assert(bands1 == again)
+    assert(bands1.size == Features.NumBands)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JaroWinkler
+
+class JaroWinklerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double) = math.abs(a - b) < 1e-9
+
+  test("golden values (SURVEY.md §5.2)") {
+    assert(approx(JaroWinkler.similarity("MARTHA", "MARHTA"), 0.9611111111111111))
+    assert(approx(JaroWinkler.similarity("DWAYNE", "DUANE"), 0.84))
+    assert(approx(JaroWinkler.similarity("DIXON", "DICKSONX"), 0.8133333333333332))
+    assert(JaroWinkler.similarity("abc", "abc") == 1.0)
+    assert(JaroWinkler.similarity("", "") == 1.0)
+    assert(JaroWinkler.similarity("a", "") == 0.0)
+    assert(JaroWinkler.similarity("abc", "xyz") == 0.0)
+  }
+
+  test("works as a codegen'd column expression") {
+    val df = Seq(("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("same", "same"))
+      .toDF("a", "b")
+      .withColumn("jw", JaroWinkler.jaroWinkler(col("a"), col("b")))
+    val got = df.select("jw").as[Double].collect().toSeq
+    assert(approx(got(0), 0.9611111111111111))
+    assert(approx(got(1), 0.84))
+    assert(got(2) == 1.0)
+  }
+
+  test("null-safe") {
+    val df = Seq((Some("a"), None: Option[String])).toDF("a", "b")
+      .withColumn("jw", JaroWinkler.jaroWinkler(col("a"), col("b")))
+    assert(df.select("jw").collect()(0).isNullAt(0))
+  }
+}
