@@ -1,19 +1,25 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.JaroWinkler.jaroWinkler
 import graft.ops._
 import graft.pipeline.Pipeline
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Each `queries` entry is one operator from SURVEY.md §2 (or a
-  * training-data-pipeline op) run at the tier mapped from sfDir
-  * (Tiers.tierFor); `oracleSql` gives the DuckDB-equivalent SQL. ER
-  * queries run over the deterministically generated transcript corpus,
-  * which Tiers materializes to parquet so DuckDB can read the identical
-  * bytes via read_parquet().
+  * One `queries` entry per implemented operator (SURVEY.md §2 inventory +
+  * training-data ops); `oracleSql` gives DuckDB-equivalent ANSI SQL for
+  * every SQL-expressible one. ER queries run over the deterministically
+  * generated transcript corpus, which Tiers materializes to parquet so
+  * DuckDB reads the identical bytes via read_parquet(); non-SQL ops
+  * (MinHash/SimHash/LSH — engine-specific hashes) get the weaker
+  * rows-only check and are instead oracled in ScalaTest.
   */
 object SparkEntry {
 
@@ -25,43 +31,423 @@ object SparkEntry {
       Pipeline.Config(checkpointRoot = s"/root/repo/target/graft-ckpt/${tier.name}"))
   }
 
-  /** Shared per-query plumbing: generated transcripts for the sfDir tier. */
-  private def records(spark: SparkSession, sfDir: String): DataFrame =
-    Features.enrich(Collapse.collapse(Tiers.transcriptsFor(spark, sfDir)))
+  // ---- shared per-query plumbing ------------------------------------
+
+  private def records(s: SparkSession, dir: String): DataFrame =
+    Stages.records(s, dir)
+
+  private def pipelineLabels(s: SparkSession, dir: String): DataFrame = {
+    val tier = Tiers.tierFor(dir)
+    Pipeline.run(s, Tiers.ensureTranscripts(s, tier),
+      Pipeline.Config(checkpointRoot = s"/root/repo/target/graft-ckpt/${tier.name}"))
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- queries -------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "er_collapse" -> ((s, dir) => {
-      records(s, dir).select(col("conv_id"), col("n_turns"), col("text_all"))
-    }),
-    "er_strong_keys" -> ((s, dir) => {
+    // ER: record construction + features (SURVEY.md §2.2/§2.3)
+    "er_collapse" -> ((s, dir) =>
+      records(s, dir).select(col("conv_id"), col("n_turns"), col("text_all"))),
+    "er_strong_keys" -> ((s, dir) =>
       records(s, dir).select(col("conv_id"),
-        coalesce(try_element_at(col("strong_keys"), lit(1)), lit("")).as("strong_key"))
+        coalesce(try_element_at(col("strong_keys"), lit(1)), lit("")).as("strong_key"))),
+    "er_tokens" -> ((s, dir) =>
+      records(s, dir).select(col("conv_id"),
+        size(col("tokens")).as("n_tokens"),
+        size(col("token_set")).as("n_distinct_tokens"))),
+    "er_shingles" -> ((s, dir) =>
+      records(s, dir).select(col("conv_id"),
+        size(col("shingles")).as("n_distinct_shingles"))),
+    "er_invariant" -> ((s, dir) => {
+      val src = Tiers.transcriptsFor(s, dir)
+      Collapse.invariantViolations(src, Collapse.collapse(src))
+        .agg(count(lit(1)).as("violations"))
     }),
+
+    // ER: blocking (§2.4)
+    "er_blocks_strong" -> ((s, dir) =>
+      Blocking.blockSizes(Blocking.strongBlocks(records(s, dir)))),
+    "er_blocks_token" -> ((s, dir) =>
+      Blocking.blockSizes(Blocking.tokenBlocks(records(s, dir)))),
+    "er_blocks_minhash" -> ((s, dir) =>
+      Blocking.blockSizes(Blocking.minhashBlocks(records(s, dir)))),
+
+    // ER: candidate pairs (§2.5)
+    "er_pairs_strong" -> ((s, dir) =>
+      Pairs.candidatePairs(Blocking.strongBlocks(records(s, dir)))),
+    "er_pairs_sql_universe" -> ((s, dir) =>
+      Stages.sqlUniversePairs(s, dir)),
+    "er_candidate_pairs" -> ((s, dir) =>
+      Pairs.candidatePairs(Blocking.allBlocks(records(s, dir)))),
+
+    // ER: scoring (§2.9, F6/F7)
+    "er_pair_features" -> ((s, dir) => {
+      val recs = records(s, dir)
+      Scoring.pairFeatures(Pairs.hydrate(Stages.sqlUniversePairs(s, dir), recs))
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard_tokens"), 6).as("jac"),
+          col("lev_first").as("lev_raw"),
+          round(col("jw_first"), 6).as("jw"))
+        .withColumn("lev_raw", round(col("lev_raw"), 6))
+    }),
+    "er_match_edges" -> ((s, dir) =>
+      Scoring.matchEdges(Stages.sqlUniverseScored(s, dir))),
+    "er_scored_pairs" -> ((s, dir) => {
+      val recs = records(s, dir)
+      Scoring.score(Pairs.hydrate(
+        Pairs.candidatePairs(Blocking.allBlocks(recs)), recs))
+        .select(col("a_id"), col("b_id"), col("strong_overlap"),
+          round(col("score"), 6).as("score"), col("is_match"))
+    }),
+
+    // ER: clustering (§2.10)
     "er_cc_strong" -> ((s, dir) => {
       val recs = records(s, dir)
-      val edges = Pairs.candidatePairs(Blocking.strongBlocks(recs))
-      ConnectedComponents.run(edges, recs.select(col("conv_id")))
+      ConnectedComponents.run(
+        Pairs.candidatePairs(Blocking.strongBlocks(recs)),
+        recs.select(col("conv_id")))
     }),
-    "q1_agg" -> ((s, dir) => {
+    "er_cc_full" -> ((s, dir) => Stages.ccFull(s, dir)),
+    "er_cluster_sizes" -> ((s, dir) =>
+      ErMetrics.clusterSizeHistogram(Stages.ccFull(s, dir))),
+
+    // ER: evaluation (§2.11) — the flagship acceptance numbers
+    "er_f1_sql" -> ((s, dir) => {
+      val universe = Stages.sqlUniversePairs(s, dir)
+      val pred = Stages.ccFull(s, dir)
+      val truth = Tiers.labelsFor(s, dir)
+      ErMetrics.pairwise(truth, pred, Some(universe))
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }),
+    "er_f1_pipeline" -> ((s, dir) => {
+      val pred = pipelineLabels(s, dir)
+      val truth = Tiers.labelsFor(s, dir)
+      ErMetrics.pairwise(truth, pred, None)
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }),
+    "er_bcubed" -> ((s, dir) => {
+      val pred = pipelineLabels(s, dir)
+      val truth = Tiers.labelsFor(s, dir)
+      ErMetrics.bcubed(truth, pred)
+        .select(round(col("bcubed_precision"), 6).as("bp"),
+          round(col("bcubed_recall"), 6).as("br"),
+          round(col("bcubed_f1"), 6).as("bf"))
+    }),
+
+    // Training-data ops: text analysis over `documents`
+    "doc_stats" -> ((s, dir) =>
+      TextOps.analyze(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          col("lang_pred"), col("quality"), col("fingerprint"))),
+
+    // Training-data ops: dedup over `documents` / `embeddings`
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.6)),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), 0.8)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 3)),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(embs(s, dir), 0.4)),
+
+    // Training-data ops: similarity search over `embeddings`
+    "ann_brute_topk" -> ((s, dir) => Ann.bruteTopK(embs(s, dir), 10, 5)),
+    "ann_lsh_topk" -> ((s, dir) => Ann.lshTopK(embs(s, dir), 10, 5)),
+
+    // Generic relational coverage on driver TPC-H-ish tables
+    "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"))),
+    "q_join_nation_revenue" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+    "q_top_orders_per_cust" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 3600, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+    "q_setop_except" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
     })
   )
 
+  // ---- DuckDB oracles --------------------------------------------------
+
+  /** Shared CTE prefix: rebuild the collapsed/featurized records from the
+    * t2 transcripts parquet in pure SQL.
+    */
+  private val RECS =
+    """WITH src AS (
+      |  SELECT * FROM read_parquet('/root/repo/target/graft-data/t2/transcripts.parquet/*.parquet')
+      |), recs AS (
+      |  SELECT conv_id,
+      |    count(*)::INT AS n_turns,
+      |    string_agg(text, ' ' ORDER BY turn_idx) AS text_all,
+      |    coalesce('T:' || string_agg(tool, '|' ORDER BY turn_idx) FILTER (WHERE tool IS NOT NULL), '') AS strong_key,
+      |    arg_min(text, turn_idx) AS first_text
+      |  FROM src GROUP BY conv_id
+      |), toks AS (
+      |  SELECT conv_id, n_turns, strong_key, first_text, text_all,
+      |    list_filter(string_split(lower(regexp_replace(text_all, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS tokens
+      |  FROM recs
+      |), tsets AS (
+      |  SELECT *, list_sort(list_distinct(tokens)) AS token_set FROM toks
+      |)""".stripMargin
+
+  /** + candidate universe (strong pairs ∪ rare-token pairs) and scored
+    * match edges, mirroring sqlUniversePairs/sqlUniverseScored.
+    */
+  private val PAIRS = RECS +
+    """, tokex AS (
+      |  SELECT conv_id, unnest(token_set) AS tok FROM tsets
+      |), rare AS (
+      |  SELECT tok FROM tokex GROUP BY tok HAVING count(*) <= 50
+      |), spairs AS (
+      |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM tsets a JOIN tsets b
+      |  ON a.strong_key = b.strong_key AND a.conv_id < b.conv_id
+      |  WHERE a.strong_key <> ''
+      |), tpairs AS (
+      |  SELECT DISTINCT a.conv_id AS a_id, b.conv_id AS b_id
+      |  FROM tokex a JOIN rare r ON r.tok = a.tok
+      |  JOIN tokex b ON a.tok = b.tok AND a.conv_id < b.conv_id
+      |), universe AS (
+      |  SELECT a_id, b_id FROM spairs UNION SELECT a_id, b_id FROM tpairs
+      |), feats AS (
+      |  SELECT u.a_id, u.b_id,
+      |    len(list_intersect(ta.token_set, tb.token_set)) * 1.0 /
+      |      len(list_distinct(ta.token_set || tb.token_set)) AS jac,
+      |    (ta.strong_key <> '' AND ta.strong_key = tb.strong_key) AS strong_share,
+      |    ta.first_text AS a_first, tb.first_text AS b_first
+      |  FROM universe u
+      |  JOIN tsets ta ON ta.conv_id = u.a_id
+      |  JOIN tsets tb ON tb.conv_id = u.b_id
+      |), edges AS (
+      |  SELECT a_id, b_id FROM feats WHERE strong_share OR jac >= 0.45
+      |)""".stripMargin
+
+  /** + connected components over `edges` via recursive label spreading,
+    * labeling every conversation (singletons label themselves).
+    */
+  private val CC_FULL = PAIRS +
+    """, bidir AS (
+      |  SELECT a_id AS s, b_id AS d FROM edges
+      |  UNION ALL SELECT b_id, a_id FROM edges
+      |), cc AS (
+      |  WITH RECURSIVE reach(node, lbl) AS (
+      |    SELECT conv_id, conv_id FROM tsets
+      |    UNION
+      |    SELECT e.d, r.lbl FROM reach r JOIN bidir e ON e.s = r.node
+      |  )
+      |  SELECT node AS conv_id, min(lbl) AS entity_id FROM reach GROUP BY node
+      |)""".stripMargin
+
+  /** documents-table token CTE (ASCII tokenizer, matches TextOps). */
+  private val DOCTOKS =
+    """WITH d AS (
+      |  SELECT *, list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS tokens
+      |  FROM documents
+      |), ds AS (
+      |  SELECT *, list_sort(list_distinct(tokens)) AS token_set FROM d
+      |)""".stripMargin
+
+  private def stopList(lang: String): String =
+    TextOps.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
   def oracleSql: Map[String, String] = Map(
-    "er_collapse" ->
-      """SELECT conv_id, count(*)::INT AS n_turns,
-        |  string_agg(text, ' ' ORDER BY turn_idx) AS text_all
-        |FROM read_parquet('/root/repo/target/graft-data/t2/transcripts.parquet/*.parquet')
-        |GROUP BY conv_id""".stripMargin,
-    "er_strong_keys" ->
-      """SELECT conv_id,
-        |  coalesce('T:' || string_agg(tool, '|' ORDER BY turn_idx) FILTER (WHERE tool IS NOT NULL), '') AS strong_key
-        |FROM read_parquet('/root/repo/target/graft-data/t2/transcripts.parquet/*.parquet')
-        |GROUP BY conv_id""".stripMargin,
+    "er_collapse" -> (RECS +
+      " SELECT conv_id, n_turns, text_all FROM recs"),
+    "er_strong_keys" -> (RECS +
+      " SELECT conv_id, strong_key FROM recs"),
+    "er_tokens" -> (RECS +
+      " SELECT conv_id, len(tokens)::INT AS n_tokens, len(token_set)::INT AS n_distinct_tokens FROM tsets"),
+    "er_shingles" -> (RECS +
+      """ SELECT conv_id,
+        |  len(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+        |                     for i in generate_series(1, len(tokens)-2)]))::INT AS n_distinct_shingles
+        | FROM tsets""".stripMargin),
+    "er_blocks_strong" -> (RECS +
+      " SELECT strong_key AS bkey, count(*) AS block_size FROM recs WHERE strong_key <> '' GROUP BY 1"),
+    "er_blocks_token" -> (RECS +
+      """, tokex AS (SELECT conv_id, unnest(token_set) AS tok FROM tsets)
+        | SELECT 'W:' || tok AS bkey, count(*) AS block_size
+        | FROM tokex GROUP BY 1 HAVING count(*) <= 50""".stripMargin),
+    "er_pairs_strong" -> (RECS +
+      """ SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM recs a JOIN recs b
+        | ON a.strong_key = b.strong_key AND a.conv_id < b.conv_id
+        | WHERE a.strong_key <> ''""".stripMargin),
+    "er_pairs_sql_universe" -> (PAIRS +
+      " SELECT a_id, b_id FROM universe"),
+    "er_pair_features" -> (PAIRS +
+      """ SELECT a_id, b_id, round(jac, 6) AS jac,
+        |  round(1.0 - levenshtein(a_first, b_first) * 1.0 / greatest(len(a_first), len(b_first)), 6) AS lev_raw,
+        |  round(jaro_winkler_similarity(a_first, b_first), 6) AS jw
+        | FROM feats""".stripMargin),
+    "er_match_edges" -> (PAIRS +
+      " SELECT a_id, b_id FROM edges"),
+    "er_cc_strong" -> (RECS +
+      """, spairs AS (
+        |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM recs a JOIN recs b
+        |  ON a.strong_key = b.strong_key AND a.conv_id < b.conv_id
+        |  WHERE a.strong_key <> ''
+        |), bidir AS (
+        |  SELECT a_id AS s, b_id AS d FROM spairs
+        |  UNION ALL SELECT b_id, a_id FROM spairs
+        |), cc AS (
+        |  WITH RECURSIVE reach(node, lbl) AS (
+        |    SELECT conv_id, conv_id FROM recs
+        |    UNION
+        |    SELECT e.d, r.lbl FROM reach r JOIN bidir e ON e.s = r.node
+        |  )
+        |  SELECT node AS conv_id, min(lbl) AS entity_id FROM reach GROUP BY node
+        |)
+        | SELECT conv_id, entity_id FROM cc""".stripMargin),
+    "er_cc_full" -> (CC_FULL +
+      " SELECT conv_id, entity_id FROM cc"),
+    "er_cluster_sizes" -> (CC_FULL +
+      """, csizes AS (SELECT entity_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+        | SELECT cluster_size, count(*) AS n_clusters FROM csizes GROUP BY 1""".stripMargin),
+    "er_f1_sql" -> (CC_FULL +
+      """, truth AS (
+        |  SELECT * FROM read_parquet('/root/repo/target/graft-data/t2/labels.parquet/*.parquet')
+        |), tpr AS (
+        |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM truth a JOIN truth b
+        |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
+        |), ppr AS (
+        |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM cc a JOIN cc b
+        |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
+        |), tu AS (SELECT * FROM tpr INTERSECT SELECT * FROM universe),
+        | pu AS (SELECT * FROM ppr INTERSECT SELECT * FROM universe),
+        | counts AS (
+        |  SELECT
+        |   (SELECT count(*) FROM (SELECT * FROM pu INTERSECT SELECT * FROM tu)) AS tp,
+        |   (SELECT count(*) FROM (SELECT * FROM pu EXCEPT SELECT * FROM tu)) AS fp,
+        |   (SELECT count(*) FROM (SELECT * FROM tu EXCEPT SELECT * FROM pu)) AS fn
+        | )
+        | SELECT tp, fp, fn,
+        |  round(CASE WHEN tp+fp = 0 THEN 1.0 ELSE tp*1.0/(tp+fp) END, 6) AS precision,
+        |  round(CASE WHEN tp+fn = 0 THEN 1.0 ELSE tp*1.0/(tp+fn) END, 6) AS recall,
+        |  round(CASE WHEN tp = 0 THEN 0.0 ELSE 2.0*(tp*1.0/(tp+fp))*(tp*1.0/(tp+fn))/((tp*1.0/(tp+fp))+(tp*1.0/(tp+fn))) END, 6) AS f1
+        | FROM counts""".stripMargin),
+    "doc_stats" -> (DOCTOKS +
+      s""", scored AS (
+        |  SELECT doc_id, tokens, token_set, text,
+        |    len(list_intersect(token_set, ${stopList("de")})) AS s_de,
+        |    len(list_intersect(token_set, ${stopList("en")})) AS s_en,
+        |    len(list_intersect(token_set, ${stopList("es")})) AS s_es,
+        |    len(list_intersect(token_set, ${stopList("fr")})) AS s_fr
+        |  FROM ds
+        |)
+        | SELECT doc_id, len(tokens)::INT AS n_tokens, len(token_set)::INT AS n_distinct_tokens,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred,
+        |  round(least(1.0, len(tokens)/100.0) * 0.5
+        |    + (CASE WHEN len(tokens) > 0 THEN len(list_filter(tokens, x -> list_contains(${stopList("en")}, x)))*1.0/len(tokens) ELSE 0.0 END) * 0.3
+        |    + (1.0 - (len(text) - len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))*1.0/len(text)) * 0.2, 6) AS quality,
+        |  CASE WHEN len(tokens) >= 3
+        |    THEN list_min([md5(tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) for i in generate_series(1, len(tokens)-2)])
+        |    ELSE md5(array_to_string(tokens, ' ')) END AS fingerprint
+        | FROM scored""".stripMargin),
+    "dedup_exact" -> (DOCTOKS +
+      """, keyed AS (
+        |  SELECT doc_id, md5(array_to_string(tokens, ' ')) AS group_key FROM d
+        |)
+        | SELECT doc_id, group_key,
+        |  min(doc_id) OVER (PARTITION BY group_key) AS keep_id,
+        |  count(*) OVER (PARTITION BY group_key) AS group_size,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY group_key) AS is_dup
+        | FROM keyed""".stripMargin),
+    "dedup_ngram" -> (DOCTOKS +
+      """, sh AS (
+        |  SELECT doc_id, list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+        |    for i in generate_series(1, len(tokens)-2)]) AS shingles
+        |  FROM d WHERE len(tokens) >= 3
+        |), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        | ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        | rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+        | exc AS (SELECT ex.* FROM ex JOIN rare USING (s)),
+        | inter AS (
+        |  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS ci
+        |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        | )
+        | SELECT a_doc, b_doc, round(ci*1.0/(sa.n + sb.n - ci), 6) AS jac
+        | FROM inter JOIN sizes sa ON sa.doc_id = a_doc JOIN sizes sb ON sb.doc_id = b_doc
+        | WHERE ci*1.0/(sa.n + sb.n - ci) >= 0.6""".stripMargin),
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS a_vec, b.vec_id AS b_vec,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS neighbor, list_cosine_similarity(q.q_emb, e.emb) AS cos,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY list_cosine_similarity(q.q_emb, e.emb) DESC, e.vec_id ASC) AS rank
+        |  FROM q JOIN e ON e.vec_id <> q.q_id
+        |)
+        |SELECT q_id, rank, neighbor, round(cos, 6) AS cos FROM scored WHERE rank <= 5""".stripMargin,
     "q1_agg" ->
-      "SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+      "SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "q_join_nation_revenue" ->
+      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) t WHERE rnk <= 3""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+    |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT > 3600
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events) t GROUP BY user_id""".stripMargin,
+    "q_setop_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
   )
 }

@@ -1,0 +1,54 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops._
+
+/** Session-scoped cache of the heavy intermediates shared by many
+  * `SparkEntry.queries` entries (records, candidate universe, scored
+  * pairs, CC labels). Verify and Bench run ~30 queries sequentially in
+  * one SparkSession; without this every query would recompute
+  * collapse+features from raw turns — the cache mirrors what the
+  * production pipeline gets from its stage checkpoints.
+  *
+  * Persisted MEMORY_AND_DISK and keyed by (stage, sfDir); deterministic
+  * inputs ⇒ cache reuse never changes results.
+  */
+object Stages {
+
+  private val cache = TrieMap[(String, String), DataFrame]()
+
+  def cached(name: String, dir: String)(f: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((name, dir),
+      f.persist(StorageLevel.MEMORY_AND_DISK))
+
+  def records(s: SparkSession, dir: String): DataFrame =
+    cached("records", dir) {
+      Features.enrich(Collapse.collapse(Tiers.transcriptsFor(s, dir)))
+    }
+
+  /** SQL-expressible candidate universe: strong-key ∪ rare-token pairs. */
+  def sqlUniversePairs(s: SparkSession, dir: String): DataFrame =
+    cached("sql_universe", dir) {
+      val recs = records(s, dir)
+      Pairs.candidatePairs(
+        Blocking.strongBlocks(recs).unionByName(Blocking.tokenBlocks(recs)),
+        Pairs.PairConfig(blockSizeCap = Int.MaxValue))
+    }
+
+  def sqlUniverseScored(s: SparkSession, dir: String): DataFrame =
+    cached("sql_scored", dir) {
+      Scoring.score(Pairs.hydrate(sqlUniversePairs(s, dir), records(s, dir)))
+    }
+
+  def ccFull(s: SparkSession, dir: String): DataFrame =
+    cached("cc_full", dir) {
+      val recs = records(s, dir)
+      ConnectedComponents.run(
+        Scoring.matchEdges(sqlUniverseScored(s, dir)),
+        recs.select(org.apache.spark.sql.functions.col("conv_id")))
+    }
+}

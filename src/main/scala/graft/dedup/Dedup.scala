@@ -1,0 +1,142 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.Features
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines over the
+  * `documents` table: exact (hash-groupBy), n-gram Jaccard (shingle
+  * inverted index), MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale notes (these run against ~100 TB in production):
+  *  - nothing ever builds a per-group in-memory list; every "group" is a
+  *    join key;
+  *  - the shingle/token inverted indexes carry a document-frequency cap
+  *    (identical semantics in the DuckDB oracle) so Zipf-hot shingles
+  *    can't produce quadratic blow-ups;
+  *  - MinHash-LSH is the scale path: candidate generation is linear in
+  *    (docs × bands) and the exact-Jaccard verify only touches bucket
+  *    collisions.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: md5 of the token sequence. Returns
+    * one row per input doc: (doc_id, group_key, keep_id, group_size,
+    * is_dup); `keep_id` = min doc_id of the group (canonical survivor).
+    */
+  def exact(documents: DataFrame): DataFrame = {
+    val keyed = documents
+      .withColumn("group_key",
+        md5(concat_ws(" ", TextOps.docTokens(col("text")))))
+    val w = Window.partitionBy(col("group_key"))
+    keyed
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .select("doc_id", "group_key", "keep_id", "group_size", "is_dup")
+  }
+
+  /** Exact 3-shingle Jaccard pairs ≥ tau via a shingle inverted index:
+    * docs sharing ≥ 1 (df-capped) shingle are candidates; intersection
+    * sizes come from the index join itself (count of shared shingles),
+    * so no row ever carries both shingle sets. Output: (a_doc, b_doc,
+    * jac) with jac an exact integer ratio — the DuckDB oracle reproduces
+    * it bit-for-bit.
+    */
+  def ngramJaccardPairs(documents: DataFrame, tau: Double = 0.6,
+      shingleDfCap: Int = 1000): DataFrame = {
+    val sh = documents
+      .withColumn("shingles",
+        array_distinct(Features.shingles(TextOps.docTokens(col("text")), 3)))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val rare = ex.groupBy("s").count().filter(col("count") <= shingleDfCap)
+      .select("s")
+    val exCapped = ex.join(rare, "s")
+    val inter = exCapped.as("a")
+      .join(exCapped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .agg(count(lit(1)).as("ci"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("n", "na"), "a_doc")
+      .join(sizes.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("n", "nb"), "b_doc")
+      .withColumn("jac",
+        col("ci").cast("double") / (col("na") + col("nb") - col("ci")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** MinHash+LSH near-dup pairs: token-set MinHash signatures → band
+    * keys → bucket self-join → exact token-set Jaccard verify ≥ tau.
+    * The LSH stage makes candidate generation linear; the verify keeps
+    * precision exact. Output: (a_doc, b_doc, jac).
+    */
+  def minhashPairs(documents: DataFrame, tau: Double = 0.8): DataFrame = {
+    val docs = documents
+      .withColumn("token_set", Features.tokenSet(TextOps.docTokens(col("text"))))
+      .withColumn("minhash", Features.minhashSignature(col("token_set")))
+      .withColumn("bands", Features.minhashBands(col("minhash"), col("token_set")))
+      .select(col("doc_id"), col("token_set"), col("bands"))
+    val buckets = docs.select(col("doc_id"), explode(col("bands")).as("bkey"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .dropDuplicates("a_doc", "b_doc")
+    val slim = docs.select(col("doc_id"), col("token_set"))
+    cand
+      .join(slim.toDF("a_doc", "a_set"), "a_doc")
+      .join(slim.toDF("b_doc", "b_set"), "b_doc")
+      .withColumn("jac",
+        size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
+          size(array_union(col("a_set"), col("b_set"))).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit SimHash over the token multiset;
+    * pairs from 4×16-bit band buckets (any pair at Hamming distance ≤ 3
+    * must agree on ≥ 1 of 4 bands — pigeonhole); verify
+    * bit_count(a XOR b) ≤ maxHamming.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val docs = documents
+      .withColumn("sim", Features.simhash64(TextOps.docTokens(col("text"))))
+      .select("doc_id", "sim")
+    val bands = docs.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b),
+          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))): _*))
+        .as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .dropDuplicates("a_doc", "b_doc")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking column (e.g.
+    * `label` — at scale this would be an IVF/LSH bucket): exact cosine
+    * in double precision, sequential fold, matching DuckDB's
+    * list_cosine_similarity on DOUBLE[] bit-for-bit.
+    */
+  def embeddingCosinePairs(embeddings: DataFrame, tau: Double,
+      blockCol: String = "label"): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col(blockCol).as("blk"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_vec"), col("b.vec_id").as("b_vec"),
+        graft.ann.Ann.cosine(col("a.emb"), col("b.emb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("a_vec"), col("b_vec"), round(col("cos"), 6).as("cos"))
+  }
+}

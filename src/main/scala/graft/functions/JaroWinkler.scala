@@ -29,7 +29,7 @@ object JaroWinkler {
   def similarity(s1: String, s2: String): Double = {
     val len1 = s1.length
     val len2 = s2.length
-    if (len1 == 0 && len2 == 0) return 1.0
+    // either side empty → 0.0, including both-empty (DuckDB parity)
     if (len1 == 0 || len2 == 0) return 0.0
     if (s1 == s2) return 1.0
 
@@ -53,7 +53,9 @@ object JaroWinkler {
     }
     if (m == 0) return 0.0
 
-    // transpositions: matched chars out of order / 2
+    // transpositions = floor(#out-of-order matched chars / 2) — integer
+    // division, matching DuckDB/rapidfuzz semantics (validated in
+    // ScoringSpec/JaroWinklerSpec and by the driver's DuckDB oracle).
     var t = 0
     var k = 0
     i = 0
@@ -66,7 +68,7 @@ object JaroWinkler {
       i += 1
     }
     val mm = m.toDouble
-    val jaro = (mm / len1 + mm / len2 + (mm - t / 2.0) / mm) / 3.0
+    val jaro = (mm / len1 + mm / len2 + (mm - t / 2) / mm) / 3.0
 
     if (jaro <= 0.7) jaro
     else {

@@ -76,9 +76,13 @@ object Pairs {
     val bSide = salted
       .withColumn("i", explode(sequence(lit(0), col("salt"))))
       .select(col("bkey"), col("i"), col("salt").as("j"), col("conv_id").as("b_id"))
+    // the join's sides are salt-ordered, not id-ordered: a pair whose
+    // smaller conv_id carries the larger salt meets with the ids swapped,
+    // so canonicalize (min, max) AFTER the join instead of filtering a<b
     aSide.join(bSide, Seq("bkey", "i", "j"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
   }
 
   /** J3: hydrate pairs with the per-conversation feature columns needed

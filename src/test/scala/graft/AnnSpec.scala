@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.util.Hashing
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randVec(id: Long, dim: Int): Array[Float] =
+    (0 until dim).map(d =>
+      (Hashing.unit(id, d.toLong, 99L) * 2 - 1).toFloat).toArray
+
+  private lazy val embs = (0L until 100L)
+    .map(i => (i, randVec(i, 16), (i % 4).toInt))
+    .toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k: exact, deterministic, correctly ranked") {
+    val got = Ann.bruteTopK(embs, 3, 5)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.length == 3 * 5)
+    // ranks are 1..5 per query and cosines non-increasing
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+    }
+    // driver-side oracle for query 0: top neighbor by manual cosine
+    val vecs = (0L until 100L).map(i => i -> randVec(i, 16).map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expectTop = (1L until 100L).maxBy(i => cos(vecs(0L), vecs(i)))
+    val gotTop = got.filter(r => r._1 == 0L && r._2 == 1).head._3
+    assert(gotTop == expectTop)
+  }
+
+  test("lsh top-k: returned rows are exact cosines, subset of bucket") {
+    val brute = Ann.bruteTopK(embs, 3, 20)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val lsh = Ann.lshTopK(embs, 3, 5, numPlanes = 4, dim = 16)
+      .as[(Long, Int, Long, Double)].collect()
+    // every LSH result's cosine agrees with brute force where present
+    lsh.foreach { case (q, _, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+    // determinism
+    val again = Ann.lshTopK(embs, 3, 5, numPlanes = 4, dim = 16)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(lsh.toSeq.sorted == again.toSeq.sorted)
+  }
+
+  test("hyperplanes are deterministic Rademacher") {
+    val p1 = Ann.hyperplanes(4, 8)
+    val p2 = Ann.hyperplanes(4, 8)
+    assert(p1 == p2)
+    assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "THE QUICK  brown fox; jumps over the lazy dog today!"), // normalizes to 1
+    (3L, "the quick brown fox jumps over the lazy cat today"),    // near-dup of 1
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "the quick brown fox jumps over the lazy dog today")     // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized-identical docs, keeps min id") {
+    val rows = Dedup.exact(docs)
+      .select("doc_id", "keep_id", "group_size", "is_dup")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rows(1L) == ((1L, 3L, false)))
+    assert(rows(2L) == ((1L, 3L, true)))
+    assert(rows(5L) == ((1L, 3L, true)))
+    assert(rows(3L) == ((3L, 1L, false)))
+    assert(rows(4L) == ((4L, 1L, false)))
+  }
+
+  test("ngram jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("a_doc", "b_doc").as[(Long, Long)].collect().toSet
+    // 1,2,5 identical shingle sets; 3 shares most shingles with them
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash candidates ⊇ high-jaccard truth; verify keeps precision exact") {
+    // minhash pairs (verified at tau) must equal brute-force token-set
+    // jaccard >= tau pairs for identical/near-identical docs
+    val got = Dedup.minhashPairs(docs, 0.8)
+      .select("a_doc", "b_doc").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 5L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs not paired") {
+    val got = Dedup.simhashPairs(docs, 3)
+      .select("a_doc", "b_doc", "hamming").as[(Long, Long, Long)].collect()
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 5L)) == 0L)
+    assert(m((1L, 2L)) == 0L) // same token multiset after normalization
+    assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding cosine pairs within block") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),  // cos ~0.994 with vec 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),  // orthogonal
+      (4L, Array(1.0f, 0.0f, 0.0f), 1)   // same dir but other block
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingCosinePairs(embs, 0.95)
+      .select("a_vec", "b_vec").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

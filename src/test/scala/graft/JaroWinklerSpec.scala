@@ -16,9 +16,13 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(approx(JaroWinkler.similarity("DWAYNE", "DUANE"), 0.84))
     assert(approx(JaroWinkler.similarity("DIXON", "DICKSONX"), 0.8133333333333332))
     assert(JaroWinkler.similarity("abc", "abc") == 1.0)
-    assert(JaroWinkler.similarity("", "") == 1.0)
+    assert(JaroWinkler.similarity("", "") == 0.0) // DuckDB parity
     assert(JaroWinkler.similarity("a", "") == 0.0)
     assert(JaroWinkler.similarity("abc", "xyz") == 0.0)
+    // transpositions use integer division (DuckDB/rapidfuzz semantics);
+    // expected value cross-computed with duckdb jaro_winkler_similarity
+    assert(approx(JaroWinkler.similarity(
+      "tok1653 tok0014 ox", "tok1072 they at irx"), 0.6208576998050682))
   }
 
   test("works as a codegen'd column expression") {

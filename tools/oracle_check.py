@@ -42,8 +42,9 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns {gc} vs oracle {wc}")
                 bad += 1
             elif gr != wr:
-                diff = [x for x in gr if x not in set(wr)][:3]
-                diff2 = [x for x in wr if x not in set(gr)][:3]
+                sw, sg = set(wr), set(gr)
+                diff = [x for x in gr if x not in sw][:3]
+                diff2 = [x for x in wr if x not in sg][:3]
                 print(f"FAIL {name}: {len(gr)} vs {len(wr)} rows; spark-only {diff} oracle-only {diff2}")
                 bad += 1
             else:
