@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Physical-plan audit (builder prompt: ".explain('formatted') the plan
+  * and iterate until it's the plan you'd want"). Prints the formatted
+  * plans of the hot operators and greps them for the properties that
+  * matter at 100 TB:
+  *  - parquet scans show PushedFilters + pruned ReadSchema;
+  *  - feature/scoring stages sit inside WholeStageCodegen spans;
+  *  - the pair self-join is a shuffle join on bkey (no cartesian);
+  *  - the small side of hydration broadcasts under AQE.
+  *
+  * Usage: runMain graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def section(name: String)(plan: => String): Unit = {
+      println(s"\n===== $name =====")
+      println(plan)
+    }
+
+    // 1. pushdown + pruning on a raw parquet scan
+    section("scan pushdown (lineitem filter+project)") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+
+    val transcripts = Tiers.transcriptsFor(spark, sfDir)
+    val records = Features.enrich(Collapse.collapse(transcripts))
+
+    // 2. collapse: exactly one shuffle, sort-free aggregation
+    section("collapse+features") {
+      records.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+
+    // 3. pair join + scoring
+    val pairs = Pairs.candidatePairs(Blocking.allBlocks(records))
+    val scored = Scoring.score(Pairs.hydrate(pairs, records))
+    section("pairs+scoring") {
+      scored.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+
+    // quick grep-style assertions, reported not thrown
+    val scanPlan = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    println("\n===== audit summary =====")
+    println(s"pushed filter present: ${scanPlan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]") || scanPlan.contains("GreaterThan(l_quantity")}")
+    println(s"read schema pruned:    ${scanPlan.contains("l_orderkey") && !scanPlan.contains("l_extendedprice")}")
+    val scoredPlan = scored.queryExecution.executedPlan.toString
+    println(s"scoring in codegen:    ${scoredPlan.contains("WholeStageCodegen")}")
+    println(s"no cartesian product:  ${!scoredPlan.contains("Cartesian")}")
+    println(s"jaro_winkler inlined:  ${scoredPlan.contains("jaro_winkler")}")
+    spark.stop()
+  }
+}

@@ -83,8 +83,7 @@ object SparkEntry {
       Pairs.candidatePairs(Blocking.strongBlocks(records(s, dir)))),
     "er_pairs_sql_universe" -> ((s, dir) =>
       Stages.sqlUniversePairs(s, dir)),
-    "er_candidate_pairs" -> ((s, dir) =>
-      Pairs.candidatePairs(Blocking.allBlocks(records(s, dir)))),
+    "er_candidate_pairs" -> ((s, dir) => Stages.fullPairs(s, dir)),
 
     // ER: scoring (§2.9, F6/F7)
     "er_pair_features" -> ((s, dir) => {
@@ -98,13 +97,10 @@ object SparkEntry {
     }),
     "er_match_edges" -> ((s, dir) =>
       Scoring.matchEdges(Stages.sqlUniverseScored(s, dir))),
-    "er_scored_pairs" -> ((s, dir) => {
-      val recs = records(s, dir)
-      Scoring.score(Pairs.hydrate(
-        Pairs.candidatePairs(Blocking.allBlocks(recs)), recs))
+    "er_scored_pairs" -> ((s, dir) =>
+      Stages.fullScored(s, dir)
         .select(col("a_id"), col("b_id"), col("strong_overlap"),
-          round(col("score"), 6).as("score"), col("is_match"))
-    }),
+          round(col("score"), 6).as("score"), col("is_match"))),
 
     // ER: clustering (§2.10)
     "er_cc_strong" -> ((s, dir) => {
@@ -155,7 +151,7 @@ object SparkEntry {
     // Training-data ops: dedup over `documents` / `embeddings`
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.6)),
-    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), 0.8)),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), 0.6)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 3)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embs(s, dir), 0.4)),

@@ -22,8 +22,14 @@ object Stages {
   private val cache = TrieMap[(String, String), DataFrame]()
 
   def cached(name: String, dir: String)(f: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((name, dir),
-      f.persist(StorageLevel.MEMORY_AND_DISK))
+    cache.getOrElseUpdate((name, dir), {
+      val df = f.persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize eagerly at the plan's own parallelism so a later
+      // single-partition consumer (e.g. a repartition(1) write) can't be
+      // the first to compute it
+      df.count()
+      df
+    })
 
   def records(s: SparkSession, dir: String): DataFrame =
     cached("records", dir) {
@@ -42,6 +48,17 @@ object Stages {
   def sqlUniverseScored(s: SparkSession, dir: String): DataFrame =
     cached("sql_scored", dir) {
       Scoring.score(Pairs.hydrate(sqlUniversePairs(s, dir), records(s, dir)))
+    }
+
+  /** Full candidate pairs (strong ∪ capped-token ∪ MinHash-LSH blocks). */
+  def fullPairs(s: SparkSession, dir: String): DataFrame =
+    cached("full_pairs", dir) {
+      Pairs.candidatePairs(Blocking.allBlocks(records(s, dir)))
+    }
+
+  def fullScored(s: SparkSession, dir: String): DataFrame =
+    cached("full_scored", dir) {
+      Scoring.score(Pairs.hydrate(fullPairs(s, dir), records(s, dir)))
     }
 
   def ccFull(s: SparkSession, dir: String): DataFrame =

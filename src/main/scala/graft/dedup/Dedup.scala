@@ -72,24 +72,27 @@ object Dedup {
       .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
   }
 
-  /** MinHash+LSH near-dup pairs: token-set MinHash signatures → band
-    * keys → bucket self-join → exact token-set Jaccard verify ≥ tau.
-    * The LSH stage makes candidate generation linear; the verify keeps
-    * precision exact. Output: (a_doc, b_doc, jac).
+  /** MinHash+LSH near-dup pairs — the scale-path approximation of
+    * `ngramJaccardPairs`: shingle-set MinHash signatures → band keys →
+    * bucket self-join → exact shingle-Jaccard verify ≥ tau. Shingle
+    * (not token) signatures keep LSH buckets O(dup-group size) under
+    * Zipf vocabularies (see Features.NumBands scaling note); the verify
+    * keeps precision exact. Output: (a_doc, b_doc, jac).
     */
-  def minhashPairs(documents: DataFrame, tau: Double = 0.8): DataFrame = {
+  def minhashPairs(documents: DataFrame, tau: Double = 0.6): DataFrame = {
     val docs = documents
-      .withColumn("token_set", Features.tokenSet(TextOps.docTokens(col("text"))))
-      .withColumn("minhash", Features.minhashSignature(col("token_set")))
-      .withColumn("bands", Features.minhashBands(col("minhash"), col("token_set")))
-      .select(col("doc_id"), col("token_set"), col("bands"))
+      .withColumn("shingles",
+        array_distinct(Features.shingles(TextOps.docTokens(col("text")), 3)))
+      .withColumn("bands", graft.functions.MinHashBands.minhashBands(
+        col("shingles"), Features.NumBands, Features.RowsPerBand))
+      .select(col("doc_id"), col("shingles"), col("bands"))
     val buckets = docs.select(col("doc_id"), explode(col("bands")).as("bkey"))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
       .dropDuplicates("a_doc", "b_doc")
-    val slim = docs.select(col("doc_id"), col("token_set"))
+    val slim = docs.select(col("doc_id"), col("shingles"))
     cand
       .join(slim.toDF("a_doc", "a_set"), "a_doc")
       .join(slim.toDF("b_doc", "b_set"), "b_doc")

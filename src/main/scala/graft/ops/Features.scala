@@ -13,21 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
-  /** MinHash-LSH banding parameters (SURVEY.md §2.4 B4). Tuned for the
-    * planted corruption model: token-set Jaccard between a corrupted
-    * duplicate and its dup-0 hub is ≈0.80 ⇒ P(share ≥1 band) =
-    * 1-(1-s^r)^b ≈ 1-(1-0.51)^13 ≈ 0.9999; a random pair at s≈0.15
-    * collides with P ≈ 4%, which scoring then discards.
+  /** MinHash-LSH banding parameters (SURVEY.md §2.4 B4), over the
+    * SHINGLE set — not the token set. Signatures over token sets are
+    * dominated by Zipf-hot tokens (the per-hash minimum is usually the
+    * same globally-common token), so band buckets grow LINEARLY with
+    * corpus size and the within-bucket self-join goes quadratic —
+    * measured: 80× candidate inflation at 9k convs, ~100M pairs at 90k.
+    * Hot shingles are ~100× rarer than hot tokens, which keeps buckets
+    * O(cluster size).
+    *
+    * Recall under the planted corruption model: dup-to-hub shingle
+    * Jaccard ≈ (1-p)³-ish ≈ 0.54; with r=2, b=16: P(share ≥1 band) =
+    * 1-(1-0.54²)^16 ≈ 0.996, so cluster-attach failure for the 10% of
+    * duplicates that lose their strong key is ≈0.04% — measured pipeline
+    * pairwise F1 at t2 ≥ 0.998 (r=3/b=20 measured 0.9888: too lossy).
+    * r=2 keeps precision because random pairs share ZERO shingles
+    * almost surely (vs hot tokens); residual hot-shingle buckets are
+    * handled by the block-size cap.
     */
-  val NumBands = 13
-  val RowsPerBand = 3
+  val NumBands = 16
+  val RowsPerBand = 2
   val NumHashes: Int = NumBands * RowsPerBand
 
-  /** F3: unicode-aware lowercase word tokenizer. */
-  def tokenize(text: Column): Column =
-    filter(
-      split(lower(regexp_replace(text, "[^\\p{L}\\p{N}]+", " ")), " "),
-      t => length(t) > 0)
+  /** F3: unicode-aware lowercase word tokenizer. trim+guard instead of a
+    * filter() HOF — higher-order functions are CodegenFallback
+    * (interpreted), and separator runs collapse to one space so empties
+    * can only appear at the ends anyway.
+    */
+  def tokenize(text: Column): Column = {
+    val norm = trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
+    when(length(norm) > 0, split(norm, " "))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Canonical (sorted, deduped) value set — the reference keeps features
     * as value *sets* per record (SURVEY.md §1.1); sorted arrays make every
@@ -56,10 +73,12 @@ object Features {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** B4: MinHash signature over a value set. h_i(x) = xxhash64(x, i);
-    * signature_i = min over set. One aggregate per hash, all inside
-    * codegen; deterministic (vs Spark ML's MinHashLSH whose random
-    * coefficients depend on a fitted model).
+  /** B4 (reference formulation): MinHash signature over a value set via
+    * pure HOFs — h_i(x) = xxhash64(x, i); signature_i = min over set.
+    * Kept as the readable spec of the semantics and for tests; the
+    * pipeline uses graft.functions.MinHashBands (a native codegen
+    * expression computing the same banding in one pass) because Spark
+    * HOFs evaluate interpreted (CodegenFallback).
     */
   def minhashSignature(valueSet: Column, numHashes: Int = NumHashes): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
@@ -113,7 +132,7 @@ object Features {
       .withColumn("token_set", tokenSet(col("tokens")))
       .withColumn("shingles", array_distinct(shingles(col("tokens"), shingleK)))
       .withColumn("strong_keys", strongKeys(col("turns")))
-      .withColumn("minhash", minhashSignature(col("token_set")))
-      .withColumn("mh_bands", minhashBands(col("minhash"), col("token_set")))
+      .withColumn("mh_bands",
+        graft.functions.MinHashBands.minhashBands(col("shingles"), NumBands, RowsPerBand))
   }
 }
