@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch throughput beats G1's pause targets here: scoring is
+  // allocation-heavy and STW GC time is the main non-scaling (serial)
+  // term in the local[8]-vs-local[32] comparison
+  "-XX:+UseParallelGC",
 )

@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // see BenchScale: beyond HotSpot's JIT limit, volcano + expression
+      // codegen beats un-JIT-able whole-stage methods (measured 23x)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

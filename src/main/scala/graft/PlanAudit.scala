@@ -22,7 +22,10 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off here ONLY: finalized adaptive plans don't render their
+      // per-stage WholeStageCodegen wrapping in any explain mode, which
+      // makes the codegen audit unreadable. Production paths keep AQE on.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -66,8 +69,12 @@ object PlanAudit {
     println("\n===== audit summary =====")
     println(s"pushed filter present: ${scanPlan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]") || scanPlan.contains("GreaterThan(l_quantity")}")
     println(s"read schema pruned:    ${scanPlan.contains("l_orderkey") && !scanPlan.contains("l_extendedprice")}")
-    val scoredPlan = scored.queryExecution.executedPlan.toString
-    println(s"scoring in codegen:    ${scoredPlan.contains("WholeStageCodegen")}")
+    scored.count() // materialize so AQE finalizes the physical plan
+    // under AQE, codegen wrapping happens per query stage; the formatted
+    // explain annotates codegen'd operators with "[codegen id : n]"
+    val scoredPlan = scored.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    println(s"scoring in codegen:    ${scoredPlan.contains("codegen id")}")
     println(s"no cartesian product:  ${!scoredPlan.contains("Cartesian")}")
     println(s"jaro_winkler inlined:  ${scoredPlan.contains("jaro_winkler")}")
     spark.stop()

@@ -25,12 +25,12 @@ object Scoring {
     */
   val DefaultJaccardThreshold = 0.45
 
-  /** Exact rational token-set Jaccard (F7). */
-  def jaccard(aSet: Column, bSet: Column): Column = {
-    val inter = size(array_intersect(aSet, bSet)).cast("double")
-    val uni = size(array_union(aSet, bSet)).cast("double")
-    when(uni > 0, inter / uni).otherwise(lit(0.0))
-  }
+  /** Exact rational token-set Jaccard (F7) over canonical (sorted,
+    * deduped) value sets — allocation-free merge scan; bit-identical to
+    * size(array_intersect)/size(array_union) on such inputs.
+    */
+  def jaccard(aSet: Column, bSet: Column): Column =
+    graft.functions.JaccardSorted.jaccardSorted(aSet, bSet)
 
   /** Normalized Levenshtein similarity on short text fields (F7): the
     * built-in is codegen'd; applied to first_text, never text_all

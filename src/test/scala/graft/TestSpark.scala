@@ -10,6 +10,8 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
