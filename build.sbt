@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the driver verbatim: sbt's default logger
+// prefixes every line with "[info] ", which made BENCH_r01.json
+// machine-unreadable ("parsed": null). StdoutOutput pipes the forked
+// JVM's stdout straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

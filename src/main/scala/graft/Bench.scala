@@ -29,13 +29,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A crashing query must be VISIBLE, not a bogus fast timing: log to
+      // stderr and report a -1 sentinel for its time.
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}"""
+    println(line)
+    // Belt-and-braces for the driver's parser: also drop the JSON line in
+    // a known file.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/root/repo/target"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), line + "\n")
     spark.stop()
   }
 }

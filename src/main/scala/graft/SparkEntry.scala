@@ -160,11 +160,17 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, dir) => Ann.bruteTopK(embs(s, dir), 10, 5)),
     "ann_lsh_topk" -> ((s, dir) => Ann.lshTopK(embs(s, dir), 10, 5)),
 
-    // Generic relational coverage on driver TPC-H-ish tables
+    // Generic relational coverage on driver TPC-H-ish tables.
+    // Aggregate output types are cast to EXACTLY the oracle's types:
+    // Spark widens sum(decimal(18,2)) to DECIMAL(28,2) while DuckDB
+    // widens to DECIMAL(38,2) — identical values, different parquet
+    // types, and the driver hashes type-sensitively (round-1 VERDICT
+    // "What's wrong" #1).
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_qty"),
           count(lit(1)).as("n"))),
     "q_join_nation_revenue" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
@@ -173,14 +179,16 @@ object SparkEntry {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("revenue"),
           count(lit(1)).as("n_orders"))
     }),
     "q_top_orders_per_cust" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      o.withColumn("rnk", row_number().over(w))
+      // row_number() is int32 in Spark, BIGINT in DuckDB — cast to match
+      o.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
     }),
@@ -205,6 +213,19 @@ object SparkEntry {
   )
 
   // ---- DuckDB oracles --------------------------------------------------
+
+  /** `oracleSql` with the generated-corpus paths re-targeted at the tier
+    * that `sfDir` resolves to. The bare `oracleSql` contract map is
+    * written for the driver's sf0.01 (t2) correctness run; Verify calls
+    * this so a run at any other sfDir compares Spark and DuckDB over the
+    * SAME corpus (round-1 ADVICE.md item 3).
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val dir = Tiers.dataDir(Tiers.tierFor(sfDir))
+    oracleSql.map { case (k, v) =>
+      k -> v.replace("/root/repo/target/graft-data/t2", dir)
+    }
+  }
 
   /** Shared CTE prefix: rebuild the collapsed/featurized records from the
     * t2 transcripts parquet in pure SQL.
@@ -359,7 +380,7 @@ object SparkEntry {
         | SELECT tp, fp, fn,
         |  round(CASE WHEN tp+fp = 0 THEN 1.0 ELSE tp*1.0/(tp+fp) END, 6) AS precision,
         |  round(CASE WHEN tp+fn = 0 THEN 1.0 ELSE tp*1.0/(tp+fn) END, 6) AS recall,
-        |  round(CASE WHEN tp = 0 THEN 0.0 ELSE 2.0*(tp*1.0/(tp+fp))*(tp*1.0/(tp+fn))/((tp*1.0/(tp+fp))+(tp*1.0/(tp+fn))) END, 6) AS f1
+        |  round(CASE WHEN tp+fp+fn = 0 THEN 1.0 WHEN tp = 0 THEN 0.0 ELSE 2.0*(tp*1.0/(tp+fp))*(tp*1.0/(tp+fn))/((tp*1.0/(tp+fp))+(tp*1.0/(tp+fn))) END, 6) AS f1
         | FROM counts""".stripMargin),
     "doc_stats" -> (DOCTOKS +
       s""", scored AS (
@@ -424,9 +445,9 @@ object SparkEntry {
         |)
         |SELECT q_id, rank, neighbor, round(cos, 6) AS cos FROM scored WHERE rank <= 5""".stripMargin,
     "q1_agg" ->
-      "SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+      "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "q_join_nation_revenue" ->
-      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_orders
+      """SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
@@ -436,7 +457,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders) t WHERE rnk <= 3""".stripMargin,
     "q_sessionize" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
     |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT > 3600

@@ -39,7 +39,8 @@ object Ann {
       .withColumn("cos", cosine(col("q_emb"), col("emb")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    // row_number() is int32 in Spark, BIGINT in DuckDB — cast to match
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
         round(col("cos"), 6).as("cos"))
@@ -81,7 +82,7 @@ object Ann {
       .withColumn("cos", cosine(col("q_emb"), col("emb")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
         round(col("cos"), 6).as("cos"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Exact Jaccard similarity of two SORTED, DEDUPLICATED string arrays as
   * one allocation-free merge scan.
@@ -42,6 +42,31 @@ object JaccardSorted {
     inter.toDouble / union.toDouble
   }
 
+  /** Long-array variant: the scoring hot path runs over dictionary-
+    * encoded token ids (xxhash64 of each token, sorted) instead of the
+    * string sets — 8 bytes/element vs pointer + UTF8String, so the
+    * shuffled/ cached pair payload and the per-pair memory traffic drop
+    * several-fold. Memory bandwidth was the measured non-scaling term in
+    * the 8-core vs 32-core comparison (BENCH.md round 1).
+    */
+  def computeLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    inter.toDouble / union.toDouble
+  }
+
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnBridge.toColumn(JaccardSortedExpr(
       ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
@@ -52,12 +77,26 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    JaccardSorted.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  /** Element-type dispatch, resolved once at plan time: string arrays use
+    * the UTF8String merge, long arrays (dictionary-encoded tokens) the
+    * primitive merge.
+    */
+  private lazy val isLongElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isLongElems)
+      JaccardSorted.computeLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      JaccardSorted.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLongElems) "computeLongs" else "compute"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.JaccardSorted.compute($a, $b)")
+      s"graft.functions.JaccardSorted.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

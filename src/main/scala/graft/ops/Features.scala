@@ -115,10 +115,23 @@ object Features {
       (acc, v) => shiftleft(acc, 1) + when(v > 0, lit(1L)).otherwise(lit(0L)))
   }
 
+  /** Dictionary-encode a canonical string value set to a sorted array of
+    * 64-bit hashes (hash-as-dictionary: no global dictionary build or
+    * broadcast needed at any scale). Set-intersection/union sizes — and
+    * therefore Jaccard — are preserved exactly unless two distinct tokens
+    * collide in 64 bits (birthday bound ~n²/2⁶⁵: negligible within a
+    * record's token set, and a single global collision at 10⁹ distinct
+    * tokens has probability ~3%, perturbing one Jaccard ratio by one
+    * count). Scoring runs on these 8-byte elements instead of strings:
+    * several-fold less shuffle + cache traffic per pair.
+    */
+  def dictEncode(valueSet: Column): Column =
+    array_sort(array_distinct(transform(valueSet, x => xxhash64(x))))
+
   /** Enrich collapsed records with every feature the pipeline needs.
     * Input: collapse() output. Output adds:
-    * text_all, first_text, n_turns, ts0, tokens, token_set, shingles,
-    * strong_keys, minhash (signature), mh_bands.
+    * text_all, first_text, n_turns, ts0, tokens, token_set, token_ids,
+    * shingles, strong_keys, minhash (signature), mh_bands.
     */
   def enrich(records: DataFrame, shingleK: Int = 3): DataFrame = {
     val withText = records
@@ -130,6 +143,7 @@ object Features {
     withText
       .withColumn("tokens", tokenize(col("text_all")))
       .withColumn("token_set", tokenSet(col("tokens")))
+      .withColumn("token_ids", dictEncode(col("token_set")))
       .withColumn("shingles", array_distinct(shingles(col("tokens"), shingleK)))
       .withColumn("strong_keys", strongKeys(col("turns")))
       .withColumn("mh_bands",

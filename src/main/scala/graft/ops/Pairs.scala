@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** J1–J3 (SURVEY.md §2.5): within-block candidate-pair generation.
   *
@@ -27,20 +29,40 @@ object Pairs {
       hotThreshold: Int = 64,
       saltBuckets: Int = 8)
 
-  /** Self-join within block keys → distinct unordered pairs (a_id < b_id). */
+  /** Self-join within block keys → distinct unordered pairs (a_id < b_id).
+    *
+    * Single-pass over the block table (round-1 VERDICT "What's wrong" #5:
+    * the sizes agg, the cold branch and the hot branch each rescanned —
+    * and at pipeline depth re-derived — `blocks`, making the pairs phase
+    * the slowest e2e stage). Now: one window pass sizes the blocks (one
+    * shuffle, no agg+rejoin), the sized table is persisted and consumed
+    * by both branches, and the result is materialized eagerly
+    * (localCheckpoint) so the sized cache can be dropped immediately.
+    * Callers that need durability re-write the slim (a_id, b_id) output
+    * to their own checkpoint — cheap relative to re-deriving the block
+    * table per consumer.
+    */
   def candidatePairs(blocks: DataFrame, cfg: PairConfig = PairConfig()): DataFrame = {
-    val sizes = Blocking.blockSizes(blocks)
-    val sized = blocks.join(sizes, "bkey")
+    val sized = blocks
+      .withColumn("block_size",
+        count(lit(1)).over(Window.partitionBy(col("bkey"))))
       .filter(col("block_size") <= cfg.blockSizeCap)
-
-    val cold = sized.filter(col("block_size") <= cfg.hotThreshold)
-      .select(col("bkey"), col("conv_id"))
-    val hot = sized.filter(col("block_size") > cfg.hotThreshold)
-      .select(col("bkey"), col("conv_id"))
-
-    joinWithin(cold)
-      .unionByName(saltedJoinWithin(hot, cfg.saltBuckets))
-      .dropDuplicates("a_id", "b_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one cheap agg over the cache decides whether the salted hot path
+      // is needed at all (usually not below bench scale)
+      val hotRows = sized.filter(col("block_size") > cfg.hotThreshold).count()
+      val cold = sized.filter(col("block_size") <= cfg.hotThreshold)
+        .select(col("bkey"), col("conv_id"))
+      val pairs =
+        if (hotRows == 0) joinWithin(cold)
+        else {
+          val hot = sized.filter(col("block_size") > cfg.hotThreshold)
+            .select(col("bkey"), col("conv_id"))
+          joinWithin(cold).unionByName(saltedJoinWithin(hot, cfg.saltBuckets))
+        }
+      pairs.dropDuplicates("a_id", "b_id").localCheckpoint(true)
+    } finally sized.unpersist(false)
   }
 
   /** Count of conversations in dropped (oversized) blocks — must be
@@ -87,10 +109,16 @@ object Pairs {
 
   /** J3: hydrate pairs with the per-conversation feature columns needed
     * by scoring. Two equi-joins; Catalyst/AQE broadcast if small.
+    *
+    * Ships `token_ids` (sorted 64-bit token hashes), NOT the string
+    * token_set: tokens dominated the shuffled/cached bytes per pair, and
+    * memory traffic was the measured non-scaling term at 32 cores
+    * (BENCH.md round 1). Jaccard over the id arrays is value-identical
+    * (Features.dictEncode).
     */
   def hydrate(pairs: DataFrame, records: DataFrame): DataFrame = {
     val slim = records.select(
-      col("conv_id"), col("token_set"), col("first_text"),
+      col("conv_id"), col("token_ids"), col("first_text"),
       col("strong_keys"), col("ts0"), col("n_turns"))
     val a = slim.toDF(slim.columns.map("a_" + _): _*)
     val b = slim.toDF(slim.columns.map("b_" + _): _*)

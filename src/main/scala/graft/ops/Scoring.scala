@@ -50,7 +50,7 @@ object Scoring {
     hydrated
       .withColumn("strong_overlap",
         arrays_overlap(col("a_strong_keys"), col("b_strong_keys")))
-      .withColumn("jaccard_tokens", jaccard(col("a_token_set"), col("b_token_set")))
+      .withColumn("jaccard_tokens", jaccard(col("a_token_ids"), col("b_token_ids")))
       .withColumn("lev_first", levSim(col("a_first_text"), col("b_first_text")))
       .withColumn("jw_first", jaroWinkler(col("a_first_text"), col("b_first_text")))
       .withColumn("dt_sec",
@@ -66,7 +66,7 @@ object Scoring {
       case "weak_strong" =>
         col("strong_overlap") || col("jaccard_tokens") >= jaccardThreshold
       case "exact" =>
-        col("a_token_set") === col("b_token_set") &&
+        col("a_token_ids") === col("b_token_ids") &&
           col("a_strong_keys") === col("b_strong_keys")
       case other => throw new IllegalArgumentException(s"match_type: $other")
     }

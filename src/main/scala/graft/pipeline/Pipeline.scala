@@ -27,6 +27,11 @@ object Pipeline {
       runId: String = "run0",
       auditInvariant: Boolean = true)
 
+  /** Bumped whenever a stage's semantics change: checkpoints written by
+    * older code must not be resumed into newer pipelines.
+    */
+  val CodeVersion = "g2"
+
   /** Cheap order-independent input fingerprint: one scan, (row count,
     * XOR of row hashes — overflow-free at any scale) over the
     * identity-carrying columns.
@@ -39,9 +44,21 @@ object Pipeline {
     s"${row.getLong(0)}-${row.getLong(1)}"
   }
 
+  /** Semantic-config fingerprint: a rerun against the same checkpointRoot
+    * with a different matchType/threshold/cap/pair config must NOT reuse
+    * stale checkpoints computed under the old config (round-1 ADVICE.md
+    * item 2). runId and checkpointRoot are labels, not semantics, and are
+    * excluded.
+    */
+  def configFingerprint(cfg: Config): String = {
+    val sem = (CodeVersion, cfg.matchType, cfg.jaccardThreshold,
+      cfg.tokenDfCap, cfg.pairCfg)
+    s"$CodeVersion-${Integer.toHexString(sem.hashCode)}"
+  }
+
   def run(spark: SparkSession, transcripts: DataFrame, cfg: Config): DataFrame = {
     val io = new ParquetTableIO(cfg.checkpointRoot)
-    val fp = fingerprint(transcripts)
+    val fp = s"${fingerprint(transcripts)}-${configFingerprint(cfg)}"
 
     def manifestFp(stage: String): Option[String] = {
       val p = Paths.get(cfg.checkpointRoot, stage, "_manifest.json")

@@ -33,6 +33,15 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracles.items()):
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         try:
+            # Arrow-level type check FIRST: the driver hashes
+            # type-sensitively (round 1: identical values, DECIMAL(28,2)
+            # vs DECIMAL(38,2) → hash mismatch), so string-canonical value
+            # comparison alone masks real failures.
+            got_at = con.execute(
+                f"SELECT * FROM read_parquet('{spark_glob}')").fetch_arrow_table()
+            want_at = con.execute(sql).fetch_arrow_table()
+            got_types = {f.name: str(f.type) for f in got_at.schema}
+            want_types = {f.name: str(f.type) for f in want_at.schema}
             got = con.execute(
                 f"SELECT * FROM read_parquet('{spark_glob}')").fetchdf()
             want = con.execute(sql).fetchdf()
@@ -40,6 +49,12 @@ def main(sf_dir, out_dir):
             wc, wr = rowset(want)
             if gc != wc:
                 print(f"FAIL {name}: columns {gc} vs oracle {wc}")
+                bad += 1
+            elif got_types != want_types:
+                diff = {k: (got_types.get(k), want_types.get(k))
+                        for k in set(got_types) | set(want_types)
+                        if got_types.get(k) != want_types.get(k)}
+                print(f"FAIL {name}: arrow types differ {diff}")
                 bad += 1
             elif gr != wr:
                 sw, sg = set(wr), set(gr)
