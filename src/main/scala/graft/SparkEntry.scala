@@ -142,6 +142,64 @@ object SparkEntry {
           round(col("bcubed_f1"), 6).as("bf"))
     }),
 
+    // ER: fused entities (R3/A1), split (S4), training (M4/M3)
+    "er_entities" -> ((s, dir) =>
+      Entities.fuse(records(s, dir), Stages.ccFull(s, dir))
+        .select(col("entity_id"), col("n_members"),
+          array_join(col("members"), ",").as("members_str"),
+          size(col("token_union")).as("n_tokens_union"),
+          array_join(col("strong_keys_union"), ",").as("strong_keys_str"))),
+    "er_split" -> ((s, dir) => {
+      val bucket = Sampling.hashBucket(col("conv_id"), 10L)
+      records(s, dir).select(col("conv_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 8, lit("train")).otherwise(lit("test")))
+    }),
+    "er_labeled_sample" -> ((s, dir) =>
+      Sampling.balancedLabeledPairs(
+        Sampling.labeledPairs(Stages.sqlUniversePairs(s, dir),
+          Tiers.labelsFor(s, dir)))),
+    "er_trained_f1" -> ((s, dir) => {
+      val truth = Tiers.labelsFor(s, dir)
+      val universe = Stages.sqlUniversePairs(s, dir)
+      val feats = Stages.sqlUniverseScored(s, dir).drop("score", "is_match")
+      val sample = Sampling.balancedLabeledPairs(
+        Sampling.labeledPairs(feats, truth))
+      val w = graft.ml.Training.fitWeights(sample)
+      val edges = Scoring.matchEdges(feats
+        .withColumn("score", Scoring.logisticScore(w))
+        .withColumn("is_match", col("score") >= 0.5))
+      val pred = ConnectedComponents.run(edges,
+        records(s, dir).select(col("conv_id")))
+      ErMetrics.pairwise(truth, pred, Some(universe))
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }),
+
+    // ER: blocking quality + cluster-level metric families (B3, E2)
+    "er_blocking_recall" -> ((s, dir) =>
+      ErMetrics.blockingRecall(Tiers.labelsFor(s, dir),
+          Stages.sqlUniversePairs(s, dir))
+        .select(col("n_truth"), col("n_covered"),
+          round(col("recall"), 6).as("recall"))),
+    "er_muc" -> ((s, dir) =>
+      ErMetrics.muc(Tiers.labelsFor(s, dir), Stages.ccFull(s, dir))
+        .select(round(col("muc_precision"), 6).as("muc_precision"),
+          round(col("muc_recall"), 6).as("muc_recall"),
+          round(col("muc_f1"), 6).as("muc_f1"))),
+    "er_closest_cluster" -> ((s, dir) =>
+      ErMetrics.closestCluster(Tiers.labelsFor(s, dir), Stages.ccFull(s, dir))
+        .select(round(col("cc_precision"), 6).as("cc_precision"),
+          round(col("cc_recall"), 6).as("cc_recall"),
+          round(col("cc_f1"), 6).as("cc_f1"))),
+    "er_bcubed_sql" -> ((s, dir) =>
+      ErMetrics.bcubed(Tiers.labelsFor(s, dir), Stages.ccFull(s, dir))
+        .select(round(col("bcubed_precision"), 6).as("bp"),
+          round(col("bcubed_recall"), 6).as("br"),
+          round(col("bcubed_f1"), 6).as("bf"))),
+
     // Training-data ops: text analysis over `documents`
     "doc_stats" -> ((s, dir) =>
       TextOps.analyze(docs(s, dir))
@@ -256,10 +314,13 @@ object SparkEntry {
       |  SELECT conv_id, unnest(token_set) AS tok FROM tsets
       |), rare AS (
       |  SELECT tok FROM tokex GROUP BY tok HAVING count(*) <= 50
+      |), skeys AS (
+      |  SELECT strong_key FROM tsets WHERE strong_key <> ''
+      |  GROUP BY 1 HAVING count(*) <= 1000
       |), spairs AS (
       |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM tsets a JOIN tsets b
       |  ON a.strong_key = b.strong_key AND a.conv_id < b.conv_id
-      |  WHERE a.strong_key <> ''
+      |  JOIN skeys sk ON sk.strong_key = a.strong_key
       |), tpairs AS (
       |  SELECT DISTINCT a.conv_id AS a_id, b.conv_id AS b_id
       |  FROM tokex a JOIN rare r ON r.tok = a.tok
@@ -295,6 +356,24 @@ object SparkEntry {
       |  SELECT node AS conv_id, min(lbl) AS entity_id FROM reach GROUP BY node
       |)""".stripMargin
 
+  /** Truth labels for the t2 corpus (path templated per-tier by
+    * oracleSqlFor).
+    */
+  private val TRUTH =
+    """, truth AS (
+      |  SELECT * FROM read_parquet('/root/repo/target/graft-data/t2/labels.parquet/*.parquet')
+      |)""".stripMargin
+
+  /** + (truth entity, predicted entity) per record and overlap cells —
+    * shared by the cluster-level metric oracles.
+    */
+  private val CELLS = CC_FULL + TRUTH +
+    """, j AS (
+      |  SELECT t.entity_id AS t, c.entity_id AS p FROM truth t JOIN cc c USING (conv_id)
+      |), cells AS (
+      |  SELECT t, p, count(*) AS ci FROM j GROUP BY 1, 2
+      |)""".stripMargin
+
   /** documents-table token CTE (ASCII tokenizer, matches TextOps). */
   private val DOCTOKS =
     """WITH d AS (
@@ -326,23 +405,38 @@ object SparkEntry {
         | SELECT 'W:' || tok AS bkey, count(*) AS block_size
         | FROM tokex GROUP BY 1 HAVING count(*) <= 50""".stripMargin),
     "er_pairs_strong" -> (RECS +
-      """ SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM recs a JOIN recs b
+      """, skeys AS (
+        |  SELECT strong_key FROM recs WHERE strong_key <> ''
+        |  GROUP BY 1 HAVING count(*) <= 1000
+        |)
+        | SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM recs a JOIN recs b
         | ON a.strong_key = b.strong_key AND a.conv_id < b.conv_id
-        | WHERE a.strong_key <> ''""".stripMargin),
+        | JOIN skeys sk ON sk.strong_key = a.strong_key""".stripMargin),
     "er_pairs_sql_universe" -> (PAIRS +
       " SELECT a_id, b_id FROM universe"),
     "er_pair_features" -> (PAIRS +
-      """ SELECT a_id, b_id, round(jac, 6) AS jac,
-        |  round(1.0 - levenshtein(a_first, b_first) * 1.0 / greatest(len(a_first), len(b_first)), 6) AS lev_raw,
+      // char-similarity inputs capped at the same 128-char prefix as
+      // Scoring.MaxSimTextLen (bounded per-pair cost at scale)
+      """, fcap AS (
+        |  SELECT a_id, b_id, jac,
+        |    substr(a_first, 1, 128) AS a_first, substr(b_first, 1, 128) AS b_first
+        |  FROM feats
+        |)
+        | SELECT a_id, b_id, round(jac, 6) AS jac,
+        |  round(CASE WHEN greatest(len(a_first), len(b_first)) = 0 THEN 1.0
+        |        ELSE 1.0 - levenshtein(a_first, b_first) * 1.0 / greatest(len(a_first), len(b_first)) END, 6) AS lev_raw,
         |  round(jaro_winkler_similarity(a_first, b_first), 6) AS jw
-        | FROM feats""".stripMargin),
+        | FROM fcap""".stripMargin),
     "er_match_edges" -> (PAIRS +
       " SELECT a_id, b_id FROM edges"),
     "er_cc_strong" -> (RECS +
-      """, spairs AS (
+      """, skeys AS (
+        |  SELECT strong_key FROM recs WHERE strong_key <> ''
+        |  GROUP BY 1 HAVING count(*) <= 1000
+        |), spairs AS (
         |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM recs a JOIN recs b
         |  ON a.strong_key = b.strong_key AND a.conv_id < b.conv_id
-        |  WHERE a.strong_key <> ''
+        |  JOIN skeys sk ON sk.strong_key = a.strong_key
         |), bidir AS (
         |  SELECT a_id AS s, b_id AS d FROM spairs
         |  UNION ALL SELECT b_id, a_id FROM spairs
@@ -382,6 +476,78 @@ object SparkEntry {
         |  round(CASE WHEN tp+fn = 0 THEN 1.0 ELSE tp*1.0/(tp+fn) END, 6) AS recall,
         |  round(CASE WHEN tp+fp+fn = 0 THEN 1.0 WHEN tp = 0 THEN 0.0 ELSE 2.0*(tp*1.0/(tp+fp))*(tp*1.0/(tp+fn))/((tp*1.0/(tp+fp))+(tp*1.0/(tp+fn))) END, 6) AS f1
         | FROM counts""".stripMargin),
+    "er_invariant" ->
+      // honest oracle: DuckDB re-runs collapse∘explode and counts the
+      // symmetric difference vs the source — not a hardcoded 0
+      """WITH src AS (
+        |  SELECT conv_id, turn_idx, text FROM read_parquet('/root/repo/target/graft-data/t2/transcripts.parquet/*.parquet')
+        |), recs AS (
+        |  SELECT conv_id, list(struct_pack(turn_idx := turn_idx, text := text) ORDER BY turn_idx) AS turns
+        |  FROM src GROUP BY conv_id
+        |), back AS (
+        |  SELECT conv_id, u.turn_idx AS turn_idx, u.text AS text
+        |  FROM (SELECT conv_id, unnest(turns) AS u FROM recs) q
+        |), missing AS (SELECT * FROM src EXCEPT SELECT * FROM back),
+        | extra AS (SELECT * FROM back EXCEPT SELECT * FROM src)
+        | SELECT CAST((SELECT count(*) FROM missing) + (SELECT count(*) FROM extra) AS BIGINT) AS violations""".stripMargin,
+    "er_entities" -> (CC_FULL +
+      """ SELECT cc.entity_id, count(*) AS n_members,
+        |  string_agg(t.conv_id, ',' ORDER BY t.conv_id) AS members_str,
+        |  len(list_sort(list_distinct(flatten(list(t.token_set)))))::INT AS n_tokens_union,
+        |  coalesce(array_to_string(list_sort(list_distinct(list(t.strong_key) FILTER (WHERE t.strong_key <> ''))), ','), '') AS strong_keys_str
+        | FROM cc JOIN tsets t USING (conv_id) GROUP BY 1""".stripMargin),
+    "er_split" -> (RECS +
+      """ SELECT conv_id, ('0x' || substr(md5(conv_id),1,8))::BIGINT % 10 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(conv_id),1,8))::BIGINT % 10 < 8 THEN 'train' ELSE 'test' END AS split
+        | FROM tsets""".stripMargin),
+    "er_labeled_sample" -> (PAIRS + TRUTH +
+      """, lab AS (
+        |  SELECT u.a_id, u.b_id, (ta.entity_id = tb.entity_id) AS is_match
+        |  FROM universe u
+        |  JOIN truth ta ON ta.conv_id = u.a_id
+        |  JOIN truth tb ON tb.conv_id = u.b_id
+        |), cnt AS (
+        |  SELECT count(*) FILTER (WHERE is_match) AS np,
+        |         count(*) FILTER (WHERE NOT is_match) AS nn FROM lab
+        |), th AS (SELECT least(np, nn) AS tt, np, nn FROM cnt)
+        | SELECT a_id, b_id, is_match FROM lab, th
+        | WHERE ('0x' || substr(md5(a_id || '|' || b_id),1,8))::BIGINT % 1000000
+        |    < CASE WHEN is_match THEN (tt*1000000)//np ELSE (tt*1000000)//nn END""".stripMargin),
+    "er_blocking_recall" -> (PAIRS + TRUTH +
+      """, tpr AS (
+        |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM truth a JOIN truth b
+        |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
+        |)
+        | SELECT n_truth, n_covered,
+        |  round(CASE WHEN n_truth = 0 THEN 1.0 ELSE n_covered*1.0/n_truth END, 6) AS recall
+        | FROM (SELECT
+        |   (SELECT count(*) FROM tpr) AS n_truth,
+        |   (SELECT count(*) FROM (SELECT * FROM tpr INTERSECT SELECT * FROM universe)) AS n_covered) x""".stripMargin),
+    "er_muc" -> (CELLS +
+      """, ts AS (SELECT t, sum(ci) AS sz, count(*) AS parts FROM cells GROUP BY t),
+        | ps AS (SELECT p, sum(ci) AS sz, count(*) AS parts FROM cells GROUP BY p),
+        | r AS (SELECT CASE WHEN sum(sz-1) = 0 THEN 1.0 ELSE sum(sz-parts)*1.0/sum(sz-1) END AS rec FROM ts),
+        | pr AS (SELECT CASE WHEN sum(sz-1) = 0 THEN 1.0 ELSE sum(sz-parts)*1.0/sum(sz-1) END AS prec FROM ps)
+        | SELECT round(prec, 6) AS muc_precision, round(rec, 6) AS muc_recall,
+        |  round(CASE WHEN prec+rec = 0 THEN 0.0 ELSE 2*prec*rec/(prec+rec) END, 6) AS muc_f1
+        | FROM pr, r""".stripMargin),
+    "er_closest_cluster" -> (CELLS +
+      """, n AS (SELECT sum(ci) AS n FROM cells),
+        | pp AS (SELECT sum(best) AS pnum FROM (SELECT p, max(ci) AS best FROM cells GROUP BY p) q1),
+        | rr AS (SELECT sum(best) AS rnum FROM (SELECT t, max(ci) AS best FROM cells GROUP BY t) q2)
+        | SELECT round(pnum*1.0/n, 6) AS cc_precision, round(rnum*1.0/n, 6) AS cc_recall,
+        |  round(CASE WHEN pnum+rnum = 0 THEN 0.0 ELSE 2*(pnum*1.0/n)*(rnum*1.0/n)/((pnum*1.0/n)+(rnum*1.0/n)) END, 6) AS cc_f1
+        | FROM pp, rr, n""".stripMargin),
+    "er_bcubed_sql" -> (CELLS +
+      """, ts AS (SELECT t, sum(ci) AS ct FROM cells GROUP BY t),
+        | ps AS (SELECT p, sum(ci) AS cp FROM cells GROUP BY p),
+        | agg AS (
+        |  SELECT sum(ci*ci*1.0/cp) AS psum, sum(ci*ci*1.0/ct) AS rsum, sum(ci) AS n
+        |  FROM cells JOIN ts USING (t) JOIN ps USING (p)
+        | )
+        | SELECT round(psum/n, 6) AS bp, round(rsum/n, 6) AS br,
+        |  round(CASE WHEN psum+rsum = 0 THEN 0.0 ELSE 2*(psum/n)*(rsum/n)/((psum/n)+(rsum/n)) END, 6) AS bf
+        | FROM agg""".stripMargin),
     "doc_stats" -> (DOCTOKS +
       s""", scored AS (
         |  SELECT doc_id, tokens, token_set, text,

@@ -36,13 +36,18 @@ object Stages {
       Features.enrich(Collapse.collapse(Tiers.transcriptsFor(s, dir)))
     }
 
-  /** SQL-expressible candidate universe: strong-key ∪ rare-token pairs. */
+  /** SQL-expressible candidate universe: strong-key ∪ rare-token pairs.
+    * Runs the PRODUCTION pair config (block cap + hot-block salting) —
+    * round-1 VERDICT flagged the uncapped oracle path as a quadratic
+    * risk shape; the oracle SQL mirrors the cap (HAVING count ≤ cap on
+    * strong keys; token blocks are df-capped already), which never binds
+    * at the t2 tier so results are unchanged.
+    */
   def sqlUniversePairs(s: SparkSession, dir: String): DataFrame =
     cached("sql_universe", dir) {
       val recs = records(s, dir)
       Pairs.candidatePairs(
-        Blocking.strongBlocks(recs).unionByName(Blocking.tokenBlocks(recs)),
-        Pairs.PairConfig(blockSizeCap = Int.MaxValue))
+        Blocking.strongBlocks(recs).unionByName(Blocking.tokenBlocks(recs)))
     }
 
   def sqlUniverseScored(s: SparkSession, dir: String): DataFrame =

@@ -41,6 +41,16 @@ object Blocking {
   def minhashBlocks(records: DataFrame): DataFrame =
     records.select(col("conv_id"), explode(col("mh_bands")).as("bkey"))
 
+  /** B3: the no-blocking baseline — every record in ONE block, so the
+    * pair join degenerates to the full cross product (reference:
+    * BlockingScheme(single_block=True) [PK-med, SURVEY.md §0]). Tiny-
+    * scale correctness baseline ONLY: it is the quadratic design every
+    * other operator here exists to avoid; candidatePairs must be called
+    * with an uncapped PairConfig for it to pass anything through.
+    */
+  def singleBlock(records: DataFrame): DataFrame =
+    records.select(col("conv_id"), lit("ALL").as("bkey"))
+
   /** All block families unioned. */
   def allBlocks(records: DataFrame, tokenDfCap: Int = DefaultTokenDfCap): DataFrame =
     strongBlocks(records)

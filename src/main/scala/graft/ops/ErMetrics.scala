@@ -96,4 +96,75 @@ object ErMetrics {
   def clusterSizeHistogram(labels: DataFrame): DataFrame =
     labels.groupBy("entity_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** E2: MUC precision / recall / F1 (Vilain et al. 1995; in the
+    * reference's metric family per arXiv:1509.04238 [PK-med]).
+    *
+    * link-based: recall = Σ_T (|T| − p(T)) / Σ_T (|T| − 1) where p(T) is
+    * the number of predicted clusters the truth cluster T is split into;
+    * precision is the same with roles swapped. Both labelings cover the
+    * same record universe here, so no missing-mention partitions arise.
+    * Two aggs over one join — no induced-pair blowup.
+    */
+  def muc(truthLabels: DataFrame, predLabels: DataFrame): DataFrame = {
+    val joined = truthLabels.select(col("conv_id"), col("entity_id").as("t"))
+      .join(predLabels.select(col("conv_id"), col("entity_id").as("p")), "conv_id")
+    def side(key: String, other: String): Double = {
+      val row = joined.groupBy(key)
+        .agg(count(lit(1)).as("sz"), countDistinct(other).as("parts"))
+        .agg(coalesce(sum(col("sz") - col("parts")), lit(0L)),
+          coalesce(sum(col("sz") - 1), lit(0L))).head()
+      val (num, den) = (row.getLong(0), row.getLong(1))
+      if (den == 0) 1.0 else num.toDouble / den
+    }
+    val recall = side("t", "p")
+    val precision = side("p", "t")
+    val f1 =
+      if (precision + recall == 0) 0.0
+      else 2 * precision * recall / (precision + recall)
+    val spark = truthLabels.sparkSession
+    import spark.implicits._
+    Seq((precision, recall, f1)).toDF("muc_precision", "muc_recall", "muc_f1")
+  }
+
+  /** E2: closest-cluster precision / recall / F1 (arXiv:1509.04238
+    * family [PK-med]): each predicted cluster is matched to the truth
+    * cluster it overlaps most; precision = fraction of records landing
+    * in their cluster's best-match overlap (record-weighted), recall
+    * symmetric. Only the (t, p) overlap cells are materialized — linear
+    * in records, never pairs.
+    */
+  def closestCluster(truthLabels: DataFrame, predLabels: DataFrame): DataFrame = {
+    val joined = truthLabels.select(col("conv_id"), col("entity_id").as("t"))
+      .join(predLabels.select(col("conv_id"), col("entity_id").as("p")), "conv_id")
+    val cells = joined.groupBy("t", "p").agg(count(lit(1)).as("ci"))
+    val row = cells
+      .groupBy("p").agg(max("ci").as("best"), sum("ci").as("cp"))
+      .agg(sum("best").as("pnum"), sum("cp").as("n")).head()
+    val row2 = cells
+      .groupBy("t").agg(max("ci").as("best"))
+      .agg(sum("best").as("rnum")).head()
+    val n = row.getLong(1).toDouble
+    val p = row.getLong(0) / n
+    val r = row2.getLong(0) / n
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    val spark = truthLabels.sparkSession
+    import spark.implicits._
+    Seq((p, r, f1)).toDF("cc_precision", "cc_recall", "cc_f1")
+  }
+
+  /** Blocking recall (the honest measure of what B1–B4 lose): fraction
+    * of truth-induced pairs present in the candidate universe. One left
+    * join + one agg.
+    */
+  def blockingRecall(truthLabels: DataFrame, universe: DataFrame): DataFrame = {
+    val truthPairs = inducedPairs(truthLabels)
+    truthPairs
+      .join(universe.withColumn("cov", lit(1)), Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("cov")), lit(0L)).as("n_covered"))
+      .withColumn("recall",
+        when(col("n_truth") === 0, lit(1.0))
+          .otherwise(col("n_covered").cast("double") / col("n_truth")))
+  }
 }

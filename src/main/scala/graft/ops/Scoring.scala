@@ -32,11 +32,26 @@ object Scoring {
   def jaccard(aSet: Column, bSet: Column): Column =
     graft.functions.JaccardSorted.jaccardSorted(aSet, bSet)
 
-  /** Normalized Levenshtein similarity on short text fields (F7): the
-    * built-in is codegen'd; applied to first_text, never text_all
-    * (O(len²) per pair).
+  /** Character-similarity inputs are capped at this prefix length:
+    * Levenshtein is O(len_a × len_b) PER PAIR, so an unbounded text
+    * field makes per-pair cost data-dependent and quadratic — measured
+    * ~44 core-µs/pair on raw first_text at the bench tier (vs ~4 µs
+    * capped), and one adversarially long turn would stall a whole
+    * partition at 100 TB. The reference compares short attribute fields
+    * (names/phones [PK-high]); a fixed prefix is the transcripts
+    * equivalent. The DuckDB oracle applies the same substr(). (On the
+    * synthetic tiers first_text is 40–100 chars, so the cap rarely
+    * binds there — it exists to bound the adversarial tail.)
     */
-  def levSim(a: Column, b: Column): Column = {
+  val MaxSimTextLen = 128
+
+  /** Normalized Levenshtein similarity on short text fields (F7): the
+    * built-in is codegen'd; applied to a bounded prefix of first_text,
+    * never text_all.
+    */
+  def levSim(aRaw: Column, bRaw: Column): Column = {
+    val a = substring(aRaw, 1, MaxSimTextLen)
+    val b = substring(bRaw, 1, MaxSimTextLen)
     val maxLen = greatest(length(a), length(b))
     when(maxLen === 0, lit(1.0))
       .otherwise(lit(1.0) - levenshtein(a, b).cast("double") / maxLen.cast("double"))
@@ -52,7 +67,9 @@ object Scoring {
         arrays_overlap(col("a_strong_keys"), col("b_strong_keys")))
       .withColumn("jaccard_tokens", jaccard(col("a_token_ids"), col("b_token_ids")))
       .withColumn("lev_first", levSim(col("a_first_text"), col("b_first_text")))
-      .withColumn("jw_first", jaroWinkler(col("a_first_text"), col("b_first_text")))
+      .withColumn("jw_first", jaroWinkler(
+        substring(col("a_first_text"), 1, MaxSimTextLen),
+        substring(col("b_first_text"), 1, MaxSimTextLen)))
       .withColumn("dt_sec",
         abs(col("a_ts0").cast("long") - col("b_ts0").cast("long")))
       .withColumn("dn_turns", abs(col("a_n_turns") - col("b_n_turns")))

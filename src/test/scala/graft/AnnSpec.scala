@@ -19,7 +19,7 @@ class AnnSpec extends AnyFunSuite {
 
   test("brute-force top-k: exact, deterministic, correctly ranked") {
     val got = Ann.bruteTopK(embs, 3, 5)
-      .as[(Long, Int, Long, Double)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     assert(got.length == 3 * 5)
     // ranks are 1..5 per query and cosines non-increasing
     got.groupBy(_._1).foreach { case (_, rows) =>
@@ -40,17 +40,17 @@ class AnnSpec extends AnyFunSuite {
 
   test("lsh top-k: returned rows are exact cosines, subset of bucket") {
     val brute = Ann.bruteTopK(embs, 3, 20)
-      .as[(Long, Int, Long, Double)].collect()
+      .as[(Long, Long, Long, Double)].collect()
       .map(r => (r._1, r._3) -> r._4).toMap
     val lsh = Ann.lshTopK(embs, 3, 5, numPlanes = 4, dim = 16)
-      .as[(Long, Int, Long, Double)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     // every LSH result's cosine agrees with brute force where present
     lsh.foreach { case (q, _, n, c) =>
       brute.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
     }
     // determinism
     val again = Ann.lshTopK(embs, 3, 5, numPlanes = 4, dim = 16)
-      .as[(Long, Int, Long, Double)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     assert(lsh.toSeq.sorted == again.toSeq.sorted)
   }
 

@@ -48,4 +48,16 @@ class BlockingSpec extends AnyFunSuite {
     val sizes = Blocking.blockSizes(Blocking.allBlocks(recs))
     assert(sizes.filter(col("block_size") < 1).count() == 0)
   }
+
+  test("single-block baseline (B3): full cross product, recall 1 on truth pairs") {
+    val n = recs.count()
+    val pairs = graft.ops.Pairs.candidatePairs(
+      Blocking.singleBlock(recs),
+      graft.ops.Pairs.PairConfig(blockSizeCap = Int.MaxValue))
+    assert(pairs.count() == n * (n - 1) / 2)
+    // no blocking → every truth pair is a candidate, by construction
+    val truth = TranscriptGen.labels(spark, 40).toDF()
+    val m = graft.ops.ErMetrics.blockingRecall(truth, pairs).head()
+    assert(m.getDouble(2) == 1.0)
+  }
 }

@@ -49,4 +49,37 @@ class MetricsSpec extends AnyFunSuite {
     val m = ErMetrics.pairwise(truth, truth, None).head()
     assert(m.getDouble(5) == 1.0)
   }
+
+  test("MUC by hand: precision 1, recall 2/3, f1 0.8") {
+    // recall: T1={a,b,c} split into 2 pred parts → 3-2=1; T2={d,e} → 1;
+    //         den (3-1)+(2-1)=3 → 2/3
+    // precision: every pred cluster pure → num=den=2 → 1.0
+    val m = ErMetrics.muc(truth, pred).head()
+    assert(m.getDouble(0) == 1.0)
+    assert(math.abs(m.getDouble(1) - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(m.getDouble(2) - 0.8) < 1e-12)
+  }
+
+  test("MUC: perfect prediction → all 1") {
+    val m = ErMetrics.muc(truth, truth).head()
+    assert(m.getDouble(0) == 1.0 && m.getDouble(1) == 1.0 && m.getDouble(2) == 1.0)
+  }
+
+  test("closest-cluster by hand: precision 1, recall 0.8") {
+    // cells: (a,a)=2 (a,c)=1 (d,d)=2; N=5
+    // precision: per-p best = 2+1+2 = 5 → 1.0
+    // recall: per-t best = 2+2 = 4 → 0.8
+    val m = ErMetrics.closestCluster(truth, pred).head()
+    assert(m.getDouble(0) == 1.0)
+    assert(math.abs(m.getDouble(1) - 0.8) < 1e-12)
+    assert(math.abs(m.getDouble(2) - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("blocking recall by hand") {
+    // truth pairs: (a,b)(a,c)(b,c)(d,e); universe covers 2 of 4
+    val universe = Seq(("a", "b"), ("d", "e"), ("x", "y")).toDF("a_id", "b_id")
+    val m = ErMetrics.blockingRecall(truth, universe).head()
+    assert(m.getLong(0) == 4 && m.getLong(1) == 2)
+    assert(m.getDouble(2) == 0.5)
+  }
 }
