@@ -141,6 +141,16 @@ object SparkEntry {
           round(col("bcubed_recall"), 6).as("br"),
           round(col("bcubed_f1"), 6).as("bf"))
     }),
+    "er_f1_swoosh" -> ((s, dir) => {
+      // merge-enabled refinement on top of the pipeline labels
+      val pred = Swoosh.refine(records(s, dir), pipelineLabels(s, dir))
+      val truth = Tiers.labelsFor(s, dir)
+      ErMetrics.pairwise(truth, pred, None)
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }),
 
     // ER: fused entities (R3/A1), split (S4), training (M4/M3)
     "er_entities" -> ((s, dir) =>

@@ -63,20 +63,30 @@ object Ann {
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket,
-    * then exact cosine re-rank. Recall is tuned by numPlanes (fewer
-    * planes → bigger buckets → higher recall, more compute); production
-    * would add multi-probe. The ranking of returned rows is exact.
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * NEIGHBORHOOD, then exact cosine re-rank. `probes` = how many
+    * buckets each query searches: its own plus the buckets at Hamming
+    * distance 1 (each sign bit flipped) — classic multi-probe LSH, which
+    * recovers the near-misses where one hyperplane falls between the
+    * query and a true neighbor (single-probe recall was the round-1
+    * named watch-item). Cost grows linearly with probes on the QUERY
+    * (small, broadcast) side only; each corpus vector still lives in
+    * exactly one bucket, so probe buckets are disjoint and no result
+    * dedup is needed. The ranking of returned rows is exact.
     */
   def lshTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
-      numPlanes: Int = 6, dim: Int = 64): DataFrame = {
+      numPlanes: Int = 6, dim: Int = 64, probes: Int = 7): DataFrame = {
+    val nProbes = math.max(1, math.min(probes, numPlanes + 1))
     val planes = hyperplanes(numPlanes, dim)
     val corpus = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("bucket", lshBucket(col("emb"), planes))
+    val probeBuckets = array(
+      col("bucket") +: (0 until nProbes - 1).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i))): _*)
     val queries = corpus.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("bucket").as("q_bucket"))
+        explode(probeBuckets).as("q_bucket"))
     val scored = corpus.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("q_emb"), col("emb")))

@@ -41,6 +41,24 @@ object Blocking {
   def minhashBlocks(records: DataFrame): DataFrame =
     records.select(col("conv_id"), explode(col("mh_bands")).as("bkey"))
 
+  /** Weak time-locality blocks: (ts0 hour bucket, n_turns). Duplicate
+    * conversations (retries, resumes, re-ingests) cluster in time, so a
+    * coarse time bucket recovers candidates that share NO rare token and
+    * miss every LSH band — the residual recall tail at t2 (49 FN pairs,
+    * all strong-key-dropped singletons with only Zipf-hot tokens).
+    * Candidate-only: precision is still protected by scoring (Jaccard ≥
+    * τ). At 100 TB a raw hour bucket is a monster block; n_turns
+    * sub-keys it and the block-size cap + salting in candidatePairs are
+    * the real defense — when temporal locality doesn't exist in the
+    * corpus these blocks die at the cap, with telemetry, costing
+    * nothing downstream.
+    */
+  def timeBlocks(records: DataFrame, bucketSecs: Int = 3600): DataFrame =
+    records.select(col("conv_id"),
+      concat(lit("H:"),
+        floor(unix_timestamp(col("ts0")) / bucketSecs).cast("string"),
+        lit("|"), col("n_turns").cast("string")).as("bkey"))
+
   /** B3: the no-blocking baseline — every record in ONE block, so the
     * pair join degenerates to the full cross product (reference:
     * BlockingScheme(single_block=True) [PK-med, SURVEY.md §0]). Tiny-
@@ -51,11 +69,12 @@ object Blocking {
   def singleBlock(records: DataFrame): DataFrame =
     records.select(col("conv_id"), lit("ALL").as("bkey"))
 
-  /** All block families unioned. */
+  /** All block families unioned (strong ∪ rare-token ∪ LSH ∪ time). */
   def allBlocks(records: DataFrame, tokenDfCap: Int = DefaultTokenDfCap): DataFrame =
     strongBlocks(records)
       .unionByName(tokenBlocks(records, tokenDfCap))
       .unionByName(minhashBlocks(records))
+      .unionByName(timeBlocks(records))
 
   /** Per-key block sizes — telemetry + input to the cap/salt decisions
     * (reference BlockingScheme.max_block_size analogue).

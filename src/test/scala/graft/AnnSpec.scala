@@ -54,6 +54,23 @@ class AnnSpec extends AnyFunSuite {
     assert(lsh.toSeq.sorted == again.toSeq.sorted)
   }
 
+  test("multi-probe recall ≥ single-probe recall vs brute-force truth") {
+    val k = 5
+    val truth = Ann.bruteTopK(embs, 10, k)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3)).toSet
+    def recall(probes: Int): Double = {
+      val got = Ann.lshTopK(embs, 10, k, numPlanes = 4, dim = 16, probes = probes)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._3)).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r5 = recall(5)
+    assert(r5 >= r1, s"multi-probe $r5 < single-probe $r1")
+    assert(r5 > 0.5, s"multi-probe recall too low: $r5")
+  }
+
   test("hyperplanes are deterministic Rademacher") {
     val p1 = Ann.hyperplanes(4, 8)
     val p2 = Ann.hyperplanes(4, 8)

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Swoosh
+
+class SwooshSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // The canonical merge-enabled case (SURVEY.md §7.4 risk 1): C matches
+  // neither A nor B alone (jac 2/6 = 0.33 < 0.45) but matches A∪B
+  // (jac 4/8 = 0.5 ≥ 0.45). Pairwise CC can never produce {A,B,C};
+  // swoosh-style fusion must.
+  private def recs = Seq(
+    ("A", Seq("a", "b", "c", "d"), Seq("T:k1")),
+    ("B", Seq("e", "f", "g", "h"), Seq("T:k1")),
+    ("C", Seq("a", "b", "e", "f"), Seq.empty[String])
+  ).toDF("conv_id", "token_set", "strong_keys")
+
+  // strong-only initial clustering: {A,B} (shared key) + singleton C
+  private def initial = Seq(
+    ("A", "A"), ("B", "A"), ("C", "C")
+  ).toDF("conv_id", "entity_id")
+
+  test("refine captures a merge-enabled match that pairwise CC cannot") {
+    val out = Swoosh.refine(recs, initial)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("A" -> "A", "B" -> "A", "C" -> "A"))
+  }
+
+  test("refine is a fixpoint on converged labelings") {
+    val once = Swoosh.refine(recs, initial)
+    val twice = Swoosh.refine(recs, once)
+    assert(once.as[(String, String)].collect().toSet ==
+      twice.as[(String, String)].collect().toSet)
+    val fix = Swoosh.refineToFixpoint(recs, initial)
+    assert(fix.as[(String, String)].collect().toMap ==
+      Map("A" -> "A", "B" -> "A", "C" -> "A"))
+  }
+
+  test("refine never splits clusters and keeps canonical min-id labels") {
+    val out = Swoosh.refine(recs, initial).as[(String, String)].collect()
+    // every member's label is the min conv_id of its refined cluster
+    val byLabel = out.groupBy(_._2)
+    byLabel.foreach { case (lbl, members) =>
+      assert(lbl == members.map(_._1).min)
+    }
+    // old same-cluster members stay together
+    assert(out.toMap.apply("A") == out.toMap.apply("B"))
+  }
+}
