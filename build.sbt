@@ -37,3 +37,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // term in the local[8]-vs-local[32] comparison
   "-XX:+UseParallelGC",
 )
+// ad-hoc JVM flags for perf diagnosis (e.g. -Xlog:gc, GC A/B) — appended
+// LAST so they can override the defaults above
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -49,27 +49,51 @@ object Scoring {
     * built-in is codegen'd; applied to a bounded prefix of first_text,
     * never text_all.
     */
-  def levSim(aRaw: Column, bRaw: Column): Column = {
-    val a = substring(aRaw, 1, MaxSimTextLen)
-    val b = substring(bRaw, 1, MaxSimTextLen)
-    val maxLen = greatest(length(a), length(b))
-    when(maxLen === 0, lit(1.0))
-      .otherwise(lit(1.0) - levenshtein(a, b).cast("double") / maxLen.cast("double"))
+  /** @param fastKernel true (default) → allocation-free capped byte-DP
+    *   (`LevenshteinFast`, 2.4× faster, value-identical); false → the
+    *   reference configuration over Spark's built-in levenshtein on
+    *   substring'd inputs. Both are kept first-class because they probe
+    *   different hardware regimes: BenchScale measures 8→32-core scaling
+    *   on BOTH (BENCH.md) — the built-in kernel is memory-stall-heavy
+    *   and scales past this host's pure-CPU turbo ceiling, the fast one
+    *   sits exactly on that ceiling.
+    */
+  def levSim(aRaw: Column, bRaw: Column, fastKernel: Boolean = true): Column = {
+    if (fastKernel) {
+      // the cap lives INSIDE the expression (and as a least() on the
+      // length), not as substring() columns — substring allocates a new
+      // UTF8String per row per side, and allocation rate is a measured
+      // non-scaling term at 32 cores
+      val maxLen = greatest(
+        least(length(aRaw), lit(MaxSimTextLen)),
+        least(length(bRaw), lit(MaxSimTextLen)))
+      when(maxLen === 0, lit(1.0))
+        .otherwise(lit(1.0) -
+          graft.functions.LevenshteinFast
+            .levenshteinFast(aRaw, bRaw, MaxSimTextLen).cast("double") /
+            maxLen.cast("double"))
+    } else {
+      val a = substring(aRaw, 1, MaxSimTextLen)
+      val b = substring(bRaw, 1, MaxSimTextLen)
+      val maxLen = greatest(length(a), length(b))
+      when(maxLen === 0, lit(1.0))
+        .otherwise(lit(1.0) - levenshtein(a, b).cast("double") / maxLen.cast("double"))
+    }
   }
 
   /** M2: pairwise feature vector over a hydrated pair table
     * (Pairs.hydrate output). Adds: strong_overlap, jaccard_tokens,
     * lev_first, jw_first, dt_sec, dn_turns.
     */
-  def pairFeatures(hydrated: DataFrame): DataFrame =
+  def pairFeatures(hydrated: DataFrame, fastKernel: Boolean = true): DataFrame =
     hydrated
       .withColumn("strong_overlap",
         arrays_overlap(col("a_strong_keys"), col("b_strong_keys")))
       .withColumn("jaccard_tokens", jaccard(col("a_token_ids"), col("b_token_ids")))
-      .withColumn("lev_first", levSim(col("a_first_text"), col("b_first_text")))
+      .withColumn("lev_first",
+        levSim(col("a_first_text"), col("b_first_text"), fastKernel))
       .withColumn("jw_first", jaroWinkler(
-        substring(col("a_first_text"), 1, MaxSimTextLen),
-        substring(col("b_first_text"), 1, MaxSimTextLen)))
+        col("a_first_text"), col("b_first_text"), MaxSimTextLen))
       .withColumn("dt_sec",
         abs(col("a_ts0").cast("long") - col("b_ts0").cast("long")))
       .withColumn("dn_turns", abs(col("a_n_turns") - col("b_n_turns")))
@@ -118,8 +142,9 @@ object Scoring {
     */
   def score(hydrated: DataFrame,
       matchType: String = "weak_strong",
-      jaccardThreshold: Double = DefaultJaccardThreshold): DataFrame =
-    pairFeatures(hydrated)
+      jaccardThreshold: Double = DefaultJaccardThreshold,
+      fastKernel: Boolean = true): DataFrame =
+    pairFeatures(hydrated, fastKernel)
       .withColumn("score", logisticScore())
       .withColumn("is_match", matchRule(matchType, jaccardThreshold))
 

@@ -40,4 +40,21 @@ class JaroWinklerSpec extends AnyFunSuite {
       .withColumn("jw", JaroWinkler.jaroWinkler(col("a"), col("b")))
     assert(df.select("jw").collect()(0).isNullAt(0))
   }
+
+  test("cap inside the expression ≡ substring upstream (ASCII + multibyte)") {
+    val rows = Seq(
+      ("the quick brown fox jumps over it", "the quick brown dog jumps over it"),
+      ("short", "also-short"),
+      ("aéλ字 multibyte prefix shared", "aéλ字 multibyte prefix distinct"),
+      ("", "nonempty"),
+      ("exactly8ch", "exactly8ch plus tail"))
+      .toDF("a", "b")
+    val df = rows.select(
+      JaroWinkler.jaroWinkler(col("a"), col("b"), 8).as("capped"),
+      JaroWinkler.jaroWinkler(
+        substring(col("a"), 1, 8), substring(col("b"), 1, 8)).as("substr"))
+    df.as[(Double, Double)].collect().foreach { case (c, s) =>
+      assert(approx(c, s), s"capped=$c substr=$s")
+    }
+  }
 }
