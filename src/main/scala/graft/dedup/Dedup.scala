@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 import graft.ops.Features
 import graft.text.TextOps
@@ -48,28 +49,36 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, tau: Double = 0.6,
       shingleDfCap: Int = 1000): DataFrame = {
+    // shingling is an interpreted HOF (CodegenFallback) — compute it ONCE
+    // and persist: sizes, the index's two join sides and the df-cap agg
+    // would otherwise each re-shingle the corpus (measured 4× recompute
+    // at bench tier)
     val sh = documents
       .withColumn("shingles",
         array_distinct(Features.shingles(TextOps.docTokens(col("text")), 3)))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val rare = ex.groupBy("s").count().filter(col("count") <= shingleDfCap)
-      .select("s")
-    val exCapped = ex.join(rare, "s")
-    val inter = exCapped.as("a")
-      .join(exCapped.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-      .agg(count(lit(1)).as("ci"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("n", "na"), "a_doc")
-      .join(sizes.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("n", "nb"), "b_doc")
-      .withColumn("jac",
-        col("ci").cast("double") / (col("na") + col("nb") - col("ci")).cast("double"))
-      .filter(col("jac") >= tau)
-      .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val rare = ex.groupBy("s").count().filter(col("count") <= shingleDfCap)
+        .select("s")
+      val exCapped = ex.join(rare, "s")
+      val inter = exCapped.as("a")
+        .join(exCapped.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+        .agg(count(lit(1)).as("ci"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("n", "na"), "a_doc")
+        .join(sizes.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("n", "nb"), "b_doc")
+        .withColumn("jac",
+          col("ci").cast("double") / (col("na") + col("nb") - col("ci")).cast("double"))
+        .filter(col("jac") >= tau)
+        .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
+        .localCheckpoint(true)
+    } finally sh.unpersist(false)
   }
 
   /** MinHash+LSH near-dup pairs — the scale-path approximation of
@@ -80,27 +89,34 @@ object Dedup {
     * keeps precision exact. Output: (a_doc, b_doc, jac).
     */
   def minhashPairs(documents: DataFrame, tau: Double = 0.6): DataFrame = {
+    // shingle + signature computed ONCE and persisted: the bucket join's
+    // two sides and the verify hydration's two sides would otherwise
+    // each re-run the interpreted shingling HOF over the whole corpus
     val docs = documents
       .withColumn("shingles",
         array_distinct(Features.shingles(TextOps.docTokens(col("text")), 3)))
       .withColumn("bands", graft.functions.MinHashBands.minhashBands(
         col("shingles"), Features.NumBands, Features.RowsPerBand))
       .select(col("doc_id"), col("shingles"), col("bands"))
-    val buckets = docs.select(col("doc_id"), explode(col("bands")).as("bkey"))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-      .dropDuplicates("a_doc", "b_doc")
-    val slim = docs.select(col("doc_id"), col("shingles"))
-    cand
-      .join(slim.toDF("a_doc", "a_set"), "a_doc")
-      .join(slim.toDF("b_doc", "b_set"), "b_doc")
-      .withColumn("jac",
-        size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
-          size(array_union(col("a_set"), col("b_set"))).cast("double"))
-      .filter(col("jac") >= tau)
-      .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val buckets = docs.select(col("doc_id"), explode(col("bands")).as("bkey"))
+      val cand = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+        .dropDuplicates("a_doc", "b_doc")
+      val slim = docs.select(col("doc_id"), col("shingles"))
+      cand
+        .join(slim.toDF("a_doc", "a_set"), "a_doc")
+        .join(slim.toDF("b_doc", "b_set"), "b_doc")
+        .withColumn("jac",
+          size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
+            size(array_union(col("a_set"), col("b_set"))).cast("double"))
+        .filter(col("jac") >= tau)
+        .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
+        .localCheckpoint(true)
+    } finally docs.unpersist(false)
   }
 
   /** SimHash near-dup pairs: 64-bit SimHash over the token multiset;
@@ -109,21 +125,28 @@ object Dedup {
     * bit_count(a XOR b) ≤ maxHamming.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // simhash64 is a 64-bit-per-token interpreted HOF fold — by far the
+    // most expensive per-doc feature here; both join sides read it from
+    // this one persisted pass
     val docs = documents
       .withColumn("sim", Features.simhash64(TextOps.docTokens(col("text"))))
       .select("doc_id", "sim")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = docs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b =>
         concat_ws(":", lit(b),
           shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))): _*))
         .as("bkey"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .dropDuplicates("a_doc", "b_doc")
-      .filter(col("hamming") <= maxHamming)
+    try {
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"),
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+        .dropDuplicates("a_doc", "b_doc")
+        .filter(col("hamming") <= maxHamming)
+        .localCheckpoint(true)
+    } finally docs.unpersist(false)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g.
