@@ -70,4 +70,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(changed.count() > first.size)
     deleteRecursively(Path.of(root))
   }
+
+  test("config change invalidates checkpoints (no stale-config reuse)") {
+    // round-1 ADVICE item 2: rerunning with a different semantic config
+    // against the SAME checkpointRoot must not reuse stale stages
+    val nEntities = 40
+    val transcripts = TranscriptGen.transcripts(spark, nEntities).toDF()
+    val root = tmpDir("cfg")
+    val loose = Pipeline.run(spark, transcripts, Pipeline.Config(root))
+      .as[(String, String)].collect().sorted.toSeq
+    // strong-only matching against the same root: different config
+    // fingerprint → scored/entities recomputed, labels genuinely differ
+    // (weak-only duplicates fall out of their clusters)
+    val strongOnly = Pipeline.run(spark, transcripts,
+      Pipeline.Config(root, matchType = "strong"))
+      .as[(String, String)].collect().sorted.toSeq
+    assert(loose != strongOnly, "strong-only run reused weak_strong checkpoints")
+    val nClustersLoose = loose.map(_._2).distinct.size
+    val nClustersStrong = strongOnly.map(_._2).distinct.size
+    assert(nClustersStrong >= nClustersLoose)
+    // and flipping back also recomputes, reproducing the original exactly
+    val back = Pipeline.run(spark, transcripts, Pipeline.Config(root))
+      .as[(String, String)].collect().sorted.toSeq
+    assert(back == loose)
+    deleteRecursively(Path.of(root))
+  }
 }
