@@ -77,6 +77,11 @@ object SparkEntry {
       Blocking.blockSizes(Blocking.tokenBlocks(records(s, dir)))),
     "er_blocks_minhash" -> ((s, dir) =>
       Blocking.blockSizes(Blocking.minhashBlocks(records(s, dir)))),
+    "er_dropped_blocks" -> ((s, dir) => {
+      val recs = records(s, dir)
+      Pairs.droppedBlockStats(
+        Blocking.strongBlocks(recs).unionByName(Blocking.tokenBlocks(recs)))
+    }),
 
     // ER: candidate pairs (§2.5)
     "er_pairs_strong" -> ((s, dir) =>
@@ -424,6 +429,17 @@ object SparkEntry {
         | JOIN skeys sk ON sk.strong_key = a.strong_key""".stripMargin),
     "er_pairs_sql_universe" -> (PAIRS +
       " SELECT a_id, b_id FROM universe"),
+    "er_dropped_blocks" -> (RECS +
+      """, tokex AS (SELECT conv_id, unnest(token_set) AS tok FROM tsets),
+        | rare AS (SELECT tok FROM tokex GROUP BY tok HAVING count(*) <= 50),
+        | allb AS (
+        |  SELECT strong_key AS bkey FROM recs WHERE strong_key <> ''
+        |  UNION ALL
+        |  SELECT 'W:' || a.tok FROM tokex a JOIN rare r ON r.tok = a.tok
+        | ), sizes AS (SELECT bkey, count(*) AS block_size FROM allb GROUP BY 1),
+        | drp AS (SELECT * FROM sizes WHERE block_size > 1000)
+        | SELECT (SELECT count(*) FROM drp) AS dropped_blocks,
+        |  CAST(coalesce((SELECT sum(block_size) FROM drp), 0) AS BIGINT) AS dropped_rows""".stripMargin),
     "er_pair_features" -> (PAIRS +
       // char-similarity inputs capped at the same 128-char prefix as
       // Scoring.MaxSimTextLen (bounded per-pair cost at scale)

@@ -93,6 +93,19 @@ object Pipeline {
       Pairs.candidatePairs(blocks, cfg.pairCfg)
     }
 
+    // Dropped-block telemetry: capping is NEVER silent (SURVEY.md §7.4
+    // risk 2). One cheap agg over the blocks checkpoint, written beside
+    // the pairs stage and surfaced on stderr.
+    val dropped = Pairs.droppedBlockStats(blocks, cfg.pairCfg)
+    dropped.write.mode("overwrite")
+      .parquet(s"${cfg.checkpointRoot}/pairs/_dropped_blocks")
+    val dRow = spark.read
+      .parquet(s"${cfg.checkpointRoot}/pairs/_dropped_blocks").head()
+    if (dRow.getLong(0) > 0) {
+      System.err.println(s"[pipeline] dropped ${dRow.getLong(0)} oversized " +
+        s"blocks (${dRow.getLong(1)} rows) at blockSizeCap=${cfg.pairCfg.blockSizeCap}")
+    }
+
     val scored = stage("scored") {
       Scoring.score(Pairs.hydrate(pairs, records), cfg.matchType,
         cfg.jaccardThreshold)
