@@ -41,6 +41,19 @@ object Bench {
       System.err.println(s"[bench] pipeline warmup FAILED: ${e.getMessage}")
     }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
+    // Pre-warm the Stages session cache the same way (round-2 VERDICT
+    // "What's wrong" #3: the alphabetically-first Stages consumer —
+    // er_bcubed_sql at 106 s — was really paying the records→universe→
+    // scored→cc chain build; per-query numbers should mean per-query
+    // work). Cost reported as stages_warmup_sec, not hidden.
+    val tWarm1 = System.nanoTime()
+    try {
+      Stages.ccFull(spark, sfDir)
+      Stages.fullScored(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stages warmup FAILED: ${e.getMessage}")
+    }
+    val stagesWarmupSec = (System.nanoTime() - tWarm1) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A crashing query must be VISIBLE, not a bogus fast timing: log to
@@ -59,7 +72,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"warmup_sec":$warmupSec}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"warmup_sec":$warmupSec,"stages_warmup_sec":$stagesWarmupSec}"""
     println(line)
     // Belt-and-braces for the driver's parser: also drop the JSON line in
     // a known file.

@@ -128,11 +128,17 @@ object BenchScale {
     def ruleOnce(): Long =
       Scoring.score(hydrated).filter(col("is_match")).count()
 
+    // median of sorted pass times (odd pass counts: the middle element)
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+
     phase("warmup")(scoreOnce()) // codegen compile + first JIT tier
     // A 100 TB job runs hours at steady state, so steady-state
     // throughput is the honest metric: HotSpot keeps re-tiering the
     // generated scoring class across passes (measured 77s → 8.9s →
-    // 3.9s for identical passes), so run several and take the fastest.
+    // 3.9s for identical passes), so run several and report BOTH the
+    // fastest (steady-state ceiling) and the median (typical pass) —
+    // round-2 VERDICT "Next round" #5: best-of-selection alone
+    // overstates; the gate number should be reproducible.
     val passes = 5
     var nMatches = 0L
     val times = (1 to passes).map { _ =>
@@ -141,6 +147,7 @@ object BenchScale {
       (System.nanoTime() - t0) / 1e9
     }
     val scoringSec = times.min
+    val scoringSecMed = median(times)
 
     // Reference-kernel variant (built-in levenshtein on substring'd
     // inputs): memory-stall-heavy, so it is the configuration whose
@@ -148,18 +155,22 @@ object BenchScale {
     // ceiling — the scaling-efficiency evidence (BENCH.md) uses it,
     // while the headline throughput uses the shipped fast kernel.
     phase("ref-warmup")(scoreOnce(fastKernel = false))
-    val refSec = (1 to passes).map { _ =>
+    val refTimes = (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       phase("ref-kernel")(scoreOnce(fastKernel = false))
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    val refSec = refTimes.min
+    val refSecMed = median(refTimes)
 
     phase("rule-warmup")(ruleOnce())
-    val ruleSec = (1 to passes).map { _ =>
+    val ruleTimes = (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       phase("rule")(ruleOnce())
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    val ruleSec = ruleTimes.min
+    val ruleSecMed = median(ruleTimes)
 
     // end-to-end through clustering (not part of the throughput metric,
     // reported for context) — over the UNREPLICATED pairs
@@ -176,9 +187,13 @@ object BenchScale {
     println(s"""{"cores":$cores,"tier":"${tier.name}","n_pairs":$nPairs,""" +
       s""""replication":$replication,"n_matches":${nMatches / replication},""" +
       s""""n_entities":$nEntities,"scored_per_pass":$nScoredPerPass,""" +
-      s""""scoring_sec":$scoringSec,"pairs_per_sec":$pps,""" +
-      s""""ref_kernel_sec":$refSec,"ref_kernel_pairs_per_sec":$refPps,""" +
-      s""""rule_sec":$ruleSec,"rule_pairs_per_sec":$rulePps,"e2e_sec":$e2eSec}""")
+      s""""scoring_sec":$scoringSec,"scoring_sec_median":$scoringSecMed,""" +
+      s""""pairs_per_sec":$pps,"pairs_per_sec_median":${nScoredPerPass / scoringSecMed},""" +
+      s""""ref_kernel_sec":$refSec,"ref_kernel_sec_median":$refSecMed,""" +
+      s""""ref_kernel_pairs_per_sec":$refPps,"ref_kernel_pairs_per_sec_median":${nScoredPerPass / refSecMed},""" +
+      s""""rule_sec":$ruleSec,"rule_sec_median":$ruleSecMed,""" +
+      s""""rule_pairs_per_sec":$rulePps,"rule_pairs_per_sec_median":${nScoredPerPass / ruleSecMed},""" +
+      s""""e2e_sec":$e2eSec}""")
     spark.stop()
   }
 }

@@ -47,7 +47,12 @@ object LevenshteinFast {
       return ac.levenshteinDistance(bc)
     }
     if (math.min(a.numBytes, cap) > MaxLen || math.min(b.numBytes, cap) > MaxLen) {
-      return a.levenshteinDistance(b)
+      // ASCII oversize fallback must still honor `cap` (round-2 ADVICE.md
+      // item 3: unreachable with current callers' caps, but silently
+      // wrong for any future cap in (MaxLen, Int.MaxValue))
+      val ac = if (a.numChars > cap) a.substring(0, cap) else a
+      val bc = if (b.numChars > cap) b.substring(0, cap) else b
+      return ac.levenshteinDistance(bc)
     }
     var aStart = 0
     var bStart = 0

@@ -27,11 +27,24 @@ object Entities {
     * the two unions are the fused weak/strong feature value-sets. This
     * is also the input a swoosh-style re-score loop would consume
     * (SURVEY.md §7.4 mitigation 1).
+    *
+    * The collect_list buffers are linear in cluster size, so one
+    * over-merged component would blow the final-agg task at 100 TB
+    * (round-2 VERDICT "What's wrong" #5): clusters above
+    * `clusterSizeCap` are excluded, loudly (ErMetrics dropped-cluster
+    * telemetry pattern). Never binds on healthy labelings.
     */
-  def fuse(records: DataFrame, labels: DataFrame): DataFrame =
+  def fuse(records: DataFrame, labels: DataFrame,
+      clusterSizeCap: Int = ErMetrics.DefaultClusterSizeCap): DataFrame = {
+    val dRow = ErMetrics.droppedClusterStats(labels, clusterSizeCap).head()
+    if (dRow.getLong(0) > 0) {
+      System.err.println(s"[entities] excluded ${dRow.getLong(0)} over-cap " +
+        s"clusters (${dRow.getLong(1)} records) from fusion at " +
+        s"clusterSizeCap=$clusterSizeCap")
+    }
     records
       .select(col("conv_id"), col("token_set"), col("strong_keys"))
-      .join(labels, "conv_id")
+      .join(ErMetrics.capClusters(labels, clusterSizeCap), "conv_id")
       .groupBy(col("entity_id"))
       .agg(
         sort_array(collect_list(col("conv_id"))).as("members"),
@@ -40,4 +53,5 @@ object Entities {
           .as("token_union"),
         array_sort(array_distinct(flatten(collect_list(col("strong_keys")))))
           .as("strong_keys_union"))
+  }
 }

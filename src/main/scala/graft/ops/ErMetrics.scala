@@ -14,13 +14,53 @@ import org.apache.spark.sql.functions._
   */
 object ErMetrics {
 
-  /** Unordered pairs induced by a labeling: same-label self-join with
-    * a < b. Quadratic in cluster size — fine for ER-scale clusters;
-    * monster clusters would already have been stopped by blocking caps.
+  /** Clusters above this size are excluded from pair-inducing operators
+    * (with telemetry). Blocking caps bound TRUTH-side blocks, but one
+    * over-merged predicted component (a bad edge chain) would make the
+    * induced self-join quadratic in ITS size with nothing upstream to
+    * stop it (round-2 VERDICT "What's wrong" #5). Never binds on healthy
+    * labelings (planted clusters are ≤ ~10 members); it exists to bound
+    * the adversarial tail at 100 TB.
     */
-  def inducedPairs(labels: DataFrame): DataFrame = {
-    val a = labels.select(col("entity_id"), col("conv_id").as("a_id"))
-    val b = labels.select(col("entity_id"), col("conv_id").as("b_id"))
+  val DefaultClusterSizeCap = 10000
+
+  /** Labels restricted to clusters of size ≤ cap (left-semi against the
+    * partial-agg size table — map-side combined, AQE-splittable).
+    */
+  def capClusters(labels: DataFrame,
+      cap: Int = DefaultClusterSizeCap): DataFrame =
+    labels.join(
+      labels.groupBy("entity_id").agg(count(lit(1)).as("cluster_size"))
+        .filter(col("cluster_size") <= cap)
+        .select(col("entity_id")),
+      Seq("entity_id"), "left_semi")
+
+  /** Telemetry over the capped-out clusters — same never-silent pattern
+    * as Pairs.droppedBlockStats (SURVEY.md §7.4 risk 2).
+    */
+  def droppedClusterStats(labels: DataFrame,
+      cap: Int = DefaultClusterSizeCap): DataFrame =
+    labels.groupBy("entity_id").agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > cap)
+      .agg(count(lit(1)).as("dropped_clusters"),
+        coalesce(sum(col("cluster_size")), lit(0L)).as("dropped_rows"))
+
+  /** Unordered pairs induced by a labeling: same-label self-join with
+    * a < b. Quadratic in cluster size, so clusters above `clusterSizeCap`
+    * are excluded — loudly: the guard firing means the labeling (not
+    * this operator) is pathological, and the caller must see it.
+    */
+  def inducedPairs(labels: DataFrame,
+      clusterSizeCap: Int = DefaultClusterSizeCap): DataFrame = {
+    val dRow = droppedClusterStats(labels, clusterSizeCap).head()
+    if (dRow.getLong(0) > 0) {
+      System.err.println(s"[ermetrics] excluded ${dRow.getLong(0)} " +
+        s"over-cap clusters (${dRow.getLong(1)} records) from induced " +
+        s"pairs at clusterSizeCap=$clusterSizeCap")
+    }
+    val kept = capClusters(labels, clusterSizeCap)
+    val a = kept.select(col("entity_id"), col("conv_id").as("a_id"))
+    val b = kept.select(col("entity_id"), col("conv_id").as("b_id"))
     a.join(b, Seq("entity_id")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
   }
@@ -138,15 +178,19 @@ object ErMetrics {
     val joined = truthLabels.select(col("conv_id"), col("entity_id").as("t"))
       .join(predLabels.select(col("conv_id"), col("entity_id").as("p")), "conv_id")
     val cells = joined.groupBy("t", "p").agg(count(lit(1)).as("ci"))
+    // coalesce the global sums: with empty inputs sum() is null and a
+    // bare getLong would NPE — mirror the muc/pairwise empty-case guards
     val row = cells
       .groupBy("p").agg(max("ci").as("best"), sum("ci").as("cp"))
-      .agg(sum("best").as("pnum"), sum("cp").as("n")).head()
+      .agg(coalesce(sum("best"), lit(0L)).as("pnum"),
+        coalesce(sum("cp"), lit(0L)).as("n")).head()
     val row2 = cells
       .groupBy("t").agg(max("ci").as("best"))
-      .agg(sum("best").as("rnum")).head()
-    val n = row.getLong(1).toDouble
-    val p = row.getLong(0) / n
-    val r = row2.getLong(0) / n
+      .agg(coalesce(sum("best"), lit(0L)).as("rnum")).head()
+    val nL = row.getLong(1)
+    val (p, r) =
+      if (nL == 0) (1.0, 1.0)
+      else (row.getLong(0) / nL.toDouble, row2.getLong(0) / nL.toDouble)
     val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
     val spark = truthLabels.sparkSession
     import spark.implicits._

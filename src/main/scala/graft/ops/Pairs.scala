@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -34,19 +33,28 @@ object Pairs {
     * Single-pass over the block table (round-1 VERDICT "What's wrong" #5:
     * the sizes agg, the cold branch and the hot branch each rescanned —
     * and at pipeline depth re-derived — `blocks`, making the pairs phase
-    * the slowest e2e stage). Now: one window pass sizes the blocks (one
-    * shuffle, no agg+rejoin), the sized table is persisted and consumed
-    * by both branches, and the result is materialized eagerly
-    * (localCheckpoint) so the sized cache can be dropped immediately.
-    * Callers that need durability re-write the slim (a_id, b_id) output
-    * to their own checkpoint — cheap relative to re-deriving the block
-    * table per consumer.
+    * the slowest e2e stage). Blocks are sized with a partial aggregation
+    * (map-side combine: the shuffled sizes table is one row per DISTINCT
+    * key) joined back onto the block table — NOT a window: a
+    * count-over-partition window buffers each block in a single task's
+    * sorter and window partitions don't AQE-split, so one degenerate hot
+    * key (an adversarial band/time bucket at 100 TB) becomes a straggler
+    * holding its whole block in memory (round-2 VERDICT "What's wrong"
+    * #4). The agg+join shape keeps every stage AQE-splittable and the
+    * over-cap keys never rejoin at all (the filter runs on the tiny
+    * sizes side, before the join fans back out). The sized table is
+    * persisted once and consumed by both branches, and the result is
+    * materialized eagerly (localCheckpoint) so the cache can be dropped
+    * immediately. Callers that need durability re-write the slim
+    * (a_id, b_id) output to their own checkpoint — cheap relative to
+    * re-deriving the block table per consumer.
     */
   def candidatePairs(blocks: DataFrame, cfg: PairConfig = PairConfig()): DataFrame = {
-    val sized = blocks
-      .withColumn("block_size",
-        count(lit(1)).over(Window.partitionBy(col("bkey"))))
+    val keptSizes = blocks.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("block_size"))
       .filter(col("block_size") <= cfg.blockSizeCap)
+    val sized = blocks.join(keptSizes, "bkey")
+      .select(col("bkey"), col("conv_id"), col("block_size"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // one cheap agg over the cache decides whether the salted hot path

@@ -98,6 +98,26 @@ object Scoring {
         abs(col("a_ts0").cast("long") - col("b_ts0").cast("long")))
       .withColumn("dn_turns", abs(col("a_n_turns") - col("b_n_turns")))
 
+  /** F8 (SURVEY.md §2.3): mean imputation for null numeric pair
+    * features — the reference fills missing numeric pairwise features
+    * with the column mean (reference: python/pairwise_features.py::
+    * get_pairwise_features numeric imputation [PK-low, SURVEY.md §0]).
+    * One scalar aggregate computes the means (partial-agg map-side
+    * combine; avg already excludes nulls), then `na.fill` patches them
+    * in — no shuffle beyond the one-row agg, and the fill is a pure
+    * projection that stays inside whole-stage codegen. Columns should be
+    * DOUBLE (na.fill truncates fills into integer columns).
+    */
+  def imputeMeans(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val row = df.agg(
+      avg(col(cols.head)).as(cols.head),
+      cols.tail.map(c => avg(col(c)).as(c)): _*).head()
+    val fills = cols.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i) => c -> row.getDouble(i)
+    }.toMap
+    if (fills.isEmpty) df else df.na.fill(fills)
+  }
+
   /** M1 rule matches, keyed like the reference's match_type. */
   def matchRule(matchType: String,
       jaccardThreshold: Double = DefaultJaccardThreshold): Column =

@@ -24,11 +24,21 @@ object Swoosh {
   /** One re-score round over fused entities. `labels` is any
     * (conv_id, entity_id) labeling with canonical min-conv_id ids; the
     * result keeps that canonical form (min of mins).
+    *
+    * @param changedOnly when Some(df of entity_id): only candidate pairs
+    *   touching at least one listed entity are re-scored. Refinement only
+    *   MERGES clusters (CC over a superset of the identity relation), so
+    *   an entity untouched by round r has a bit-identical fused feature
+    *   set in round r+1 — every unchanged×unchanged pair was already
+    *   scored no-match and can be skipped without changing the fixpoint
+    *   (round-2 VERDICT "Next round" #7). The changed set is small
+    *   (merge participants only), so the restriction joins broadcast.
     */
   def refine(records: DataFrame, labels: DataFrame,
       jaccardThreshold: Double = Scoring.DefaultJaccardThreshold,
       tokenDfCap: Int = Blocking.DefaultTokenDfCap,
-      pairCfg: Pairs.PairConfig = Pairs.PairConfig()): DataFrame = {
+      pairCfg: Pairs.PairConfig = Pairs.PairConfig(),
+      changedOnly: Option[DataFrame] = None): DataFrame = {
     val entities = Entities.fuse(records, labels)
     // entity-level records: the fused value sets play the per-record role
     val erecs = entities.select(
@@ -38,7 +48,19 @@ object Swoosh {
       col("strong_keys_union").as("strong_keys"))
     val blocks = Blocking.strongBlocks(erecs)
       .unionByName(Blocking.tokenBlocks(erecs, tokenDfCap))
-    val pairs = Pairs.candidatePairs(blocks, pairCfg)
+    val allPairs = Pairs.candidatePairs(blocks, pairCfg)
+    val pairs = changedOnly match {
+      case None => allPairs
+      case Some(chg) =>
+        val ids = chg.select(col("entity_id"))
+        allPairs
+          .join(ids.withColumnRenamed("entity_id", "a_id")
+            .withColumn("a_chg", lit(true)), Seq("a_id"), "left")
+          .join(ids.withColumnRenamed("entity_id", "b_id")
+            .withColumn("b_chg", lit(true)), Seq("b_id"), "left")
+          .filter(col("a_chg").isNotNull || col("b_chg").isNotNull)
+          .select(col("a_id"), col("b_id"))
+    }
     // lean hydration: entity matching needs only the two value sets
     val slim = erecs.select(col("conv_id"), col("token_ids"), col("strong_keys"))
     val a = slim.toDF(slim.columns.map("a_" + _): _*)
@@ -52,33 +74,44 @@ object Swoosh {
       .select(col("a_id"), col("b_id"))
     val refined = ConnectedComponents.run(edges, entities.select(col("entity_id")))
       .select(col("conv_id").as("old_id"), col("entity_id").as("new_id"))
+    // LEFT join + coalesce: a record whose entity was excluded from the
+    // round (over-cap fusion guard) keeps its old label instead of
+    // silently vanishing from the labeling
     labels.select(col("conv_id"), col("entity_id").as("old_id"))
-      .join(refined, "old_id")
-      .select(col("conv_id"), col("new_id").as("entity_id"))
+      .join(refined, Seq("old_id"), "left")
+      .select(col("conv_id"),
+        coalesce(col("new_id"), col("old_id")).as("entity_id"))
   }
 
   /** Iterate refine until the labeling stops changing (bounded) — the
-    * swoosh fixpoint. Fixpoint test is one cheap order-independent
-    * signature agg per round, mirroring ConnectedComponents.
+    * swoosh fixpoint. Delta-driven: after the full first round, round
+    * r+1 re-scores only pairs touching entities whose membership changed
+    * in round r (merges only — see refine's changedOnly contract), and
+    * convergence is simply "no label moved", so the signature agg of the
+    * round-2 shape is no longer needed. Config caps are forwarded to
+    * every round (round-2 ADVICE.md item 4: a caller-tuned first refine
+    * silently fell back to default caps on later rounds).
     */
   def refineToFixpoint(records: DataFrame, labels: DataFrame,
       maxRounds: Int = 5,
-      jaccardThreshold: Double = Scoring.DefaultJaccardThreshold): DataFrame = {
-    def sig(l: DataFrame): (Long, Long) = {
-      val r = l.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("conv_id"), col("entity_id"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+      jaccardThreshold: Double = Scoring.DefaultJaccardThreshold,
+      tokenDfCap: Int = Blocking.DefaultTokenDfCap,
+      pairCfg: Pairs.PairConfig = Pairs.PairConfig()): DataFrame = {
     var cur = labels.localCheckpoint(true)
-    var s = sig(cur)
+    var changed: Option[DataFrame] = None
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
-      val next = refine(records, cur, jaccardThreshold).localCheckpoint(true)
-      val ns = sig(next)
-      converged = ns == s
-      s = ns
+      val next = refine(records, cur, jaccardThreshold, tokenDfCap, pairCfg,
+        changedOnly = changed).localCheckpoint(true)
+      // entities that merged this round = new ids owning ≥1 moved record
+      val delta = cur.select(col("conv_id"), col("entity_id").as("old_e"))
+        .join(next, "conv_id")
+        .filter(col("entity_id") =!= col("old_e"))
+        .select(col("entity_id")).distinct().localCheckpoint(true)
+      converged = delta.isEmpty
+      changed = Some(delta)
       cur = next
     }
     cur

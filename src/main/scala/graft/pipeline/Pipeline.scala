@@ -48,13 +48,15 @@ object Pipeline {
     * with a different matchType/threshold/cap/pair config must NOT reuse
     * stale checkpoints computed under the old config (round-1 ADVICE.md
     * item 2). runId and checkpointRoot are labels, not semantics, and are
-    * excluded.
+    * excluded. The fields are serialized VERBATIM — a 32-bit hash of the
+    * tuple (the round-2 shape) could collide two different configs and
+    * silently resume stale checkpoints, the exact failure this
+    * fingerprint exists to prevent (round-2 ADVICE.md item 2).
     */
-  def configFingerprint(cfg: Config): String = {
-    val sem = (CodeVersion, cfg.matchType, cfg.jaccardThreshold,
-      cfg.tokenDfCap, cfg.pairCfg)
-    s"$CodeVersion-${Integer.toHexString(sem.hashCode)}"
-  }
+  def configFingerprint(cfg: Config): String =
+    s"$CodeVersion-${cfg.matchType}-${cfg.jaccardThreshold}-" +
+      s"${cfg.tokenDfCap}-${cfg.pairCfg.blockSizeCap}-" +
+      s"${cfg.pairCfg.hotThreshold}-${cfg.pairCfg.saltBuckets}"
 
   def run(spark: SparkSession, transcripts: DataFrame, cfg: Config): DataFrame = {
     val io = new ParquetTableIO(cfg.checkpointRoot)

@@ -36,4 +36,20 @@ class EntitiesSpec extends AnyFunSuite {
     val b = Entities.fuse(recs.repartition(1), labels).collect().toSet
     assert(a == b)
   }
+
+  test("fuse excludes monster clusters at the cap, keeps the rest intact") {
+    // a planted over-merged component: 20 members vs a healthy pair
+    val mRecs = ((0 until 20).map(i => (f"m$i%02d", Seq(s"t$i"), Seq.empty[String]))
+      ++ Seq(("x", Seq("u"), Seq("T:x")), ("y", Seq("v"), Seq.empty[String])))
+      .toDF("conv_id", "token_set", "strong_keys")
+    val mLabels = ((0 until 20).map(i => (f"m$i%02d", "M"))
+      ++ Seq(("x", "X"), ("y", "X"))).toDF("conv_id", "entity_id")
+    val out = Entities.fuse(mRecs, mLabels, clusterSizeCap = 10)
+      .select("entity_id").as[String].collect().toSet
+    assert(out == Set("X")) // monster M dropped, loudly (stderr telemetry)
+    // the default cap never binds on healthy labelings
+    val full = Entities.fuse(mRecs, mLabels)
+      .select("entity_id").as[String].collect().toSet
+    assert(full == Set("M", "X"))
+  }
 }

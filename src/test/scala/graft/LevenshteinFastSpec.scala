@@ -40,4 +40,17 @@ class LevenshteinFastSpec extends AnyFunSuite {
       .select(levenshteinFast(col("a"), col("b"))).as[Int].head()
     assert(v == 3)
   }
+
+  test("ASCII oversize fallback honors the cap (cap in (MaxLen, ∞))") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.LevenshteinFast
+    // both > MaxLen(512) bytes, cap above MaxLen: edits beyond the cap
+    // must be invisible (round-2 ADVICE.md item 3)
+    val a = UTF8String.fromString("a" * 700)
+    val b = UTF8String.fromString("a" * 600 + "b" * 100)
+    assert(LevenshteinFast.compute(a, b, 600) == 0)
+    // and a real edit inside the cap window still counts
+    val c = UTF8String.fromString("x" + "a" * 699)
+    assert(LevenshteinFast.compute(a, c, 600) == 1)
+  }
 }

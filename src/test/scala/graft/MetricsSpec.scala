@@ -82,4 +82,24 @@ class MetricsSpec extends AnyFunSuite {
     assert(m.getLong(0) == 4 && m.getLong(1) == 2)
     assert(m.getDouble(2) == 0.5)
   }
+
+  test("induced-pairs cluster-size guard fires on a planted monster cluster") {
+    val labels = ((0 until 20).map(i => (f"m$i%02d", "M"))
+      ++ Seq(("x", "X"), ("y", "X"))).toDF("conv_id", "entity_id")
+    val d = ErMetrics.droppedClusterStats(labels, cap = 10).head()
+    assert(d.getLong(0) == 1 && d.getLong(1) == 20)
+    // over-cap cluster excluded from the quadratic self-join
+    assert(ErMetrics.inducedPairs(labels, clusterSizeCap = 10).count() == 1L)
+    // default cap never binds on healthy sizes
+    assert(ErMetrics.inducedPairs(labels).count() == 190L + 1L)
+    // no clusters over cap → zero-telemetry row
+    val d0 = ErMetrics.droppedClusterStats(labels).head()
+    assert(d0.getLong(0) == 0 && d0.getLong(1) == 0)
+  }
+
+  test("closest-cluster on empty labelings degenerates instead of NPEing") {
+    val empty = Seq.empty[(String, String)].toDF("conv_id", "entity_id")
+    val m = ErMetrics.closestCluster(empty, empty).head()
+    assert(m.getDouble(0) == 1.0 && m.getDouble(1) == 1.0)
+  }
 }

@@ -54,6 +54,17 @@ class ScoringSpec extends AnyFunSuite {
     assert(counts("exact") <= counts("weak_strong"))
   }
 
+  test("imputeMeans fills null numerics with the column mean (F8)") {
+    val df = Seq(Some(1.0), Some(3.0), None, Some(5.0), None).toDF("x")
+    val out = Scoring.imputeMeans(df, Seq("x")).as[Double].collect().sorted.toSeq
+    assert(out == Seq(1.0, 3.0, 3.0, 3.0, 5.0))
+    // an all-null column has no mean — rows stay null rather than 0-filled
+    val allNull = Seq[Option[Double]](None, None).toDF("x")
+    val stillNull = Scoring.imputeMeans(allNull, Seq("x"))
+      .filter(col("x").isNull).count()
+    assert(stillNull == 2L)
+  }
+
   test("logistic score is monotone with the rule decision") {
     val rows = scored.select("is_match", "score").as[(Boolean, Double)].collect()
     val matchScores = rows.filter(_._1).map(_._2)

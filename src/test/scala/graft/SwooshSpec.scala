@@ -39,6 +39,44 @@ class SwooshSpec extends AnyFunSuite {
       Map("A" -> "A", "B" -> "A", "C" -> "A"))
   }
 
+  // A chain needing TWO merge rounds: C bridges into {A,B} (jac vs A∪B =
+  // 6/10 = 0.6), and only the round-1 union {a..h,p,q} lifts G over the
+  // threshold (jac 6/10 = 0.6; vs A∪B alone 4/10 = 0.4, vs C alone
+  // 4/10 = 0.4). Exercises the delta-driven fixpoint across rounds.
+  private def chainRecs = Seq(
+    ("A", Seq("a", "b", "c", "d"), Seq("T:k1")),
+    ("B", Seq("e", "f", "g", "h"), Seq("T:k1")),
+    ("C", Seq("a", "b", "c", "e", "f", "g", "p", "q"), Seq.empty[String]),
+    ("G", Seq("a", "b", "d", "h", "p", "q"), Seq.empty[String])
+  ).toDF("conv_id", "token_set", "strong_keys")
+
+  private def chainInitial = Seq(
+    ("A", "A"), ("B", "A"), ("C", "C"), ("G", "G")
+  ).toDF("conv_id", "entity_id")
+
+  test("delta-driven fixpoint reaches the same labeling as iterated full refine") {
+    val fix = Swoosh.refineToFixpoint(chainRecs, chainInitial)
+      .as[(String, String)].collect().toMap
+    // iterated FULL refine (no delta restriction) as the semantics oracle
+    var full = chainInitial
+    (1 to 3).foreach(_ => full = Swoosh.refine(chainRecs, full))
+    assert(fix == full.as[(String, String)].collect().toMap)
+    assert(fix == Map("A" -> "A", "B" -> "A", "C" -> "A", "G" -> "A"))
+  }
+
+  test("changedOnly restriction: empty delta is a no-op, full delta == full refine") {
+    val none = spark.emptyDataset[String].toDF("entity_id")
+    val noop = Swoosh.refine(chainRecs, chainInitial, changedOnly = Some(none))
+      .as[(String, String)].collect().toMap
+    assert(noop == chainInitial.as[(String, String)].collect().toMap)
+    val all = chainInitial.select($"entity_id").distinct()
+    val withAll = Swoosh.refine(chainRecs, chainInitial, changedOnly = Some(all))
+      .as[(String, String)].collect().toMap
+    val fullOnce = Swoosh.refine(chainRecs, chainInitial)
+      .as[(String, String)].collect().toMap
+    assert(withAll == fullOnce)
+  }
+
   test("refine never splits clusters and keeps canonical min-id labels") {
     val out = Swoosh.refine(recs, initial).as[(String, String)].collect()
     // every member's label is the min conv_id of its refined cluster
