@@ -18,8 +18,10 @@ import graft.text.TextOps
   * every SQL-expressible one. ER queries run over the deterministically
   * generated transcript corpus, which Tiers materializes to parquet so
   * DuckDB reads the identical bytes via read_parquet(); non-SQL ops
-  * (MinHash/SimHash/LSH — engine-specific hashes) get the weaker
-  * rows-only check and are instead oracled in ScalaTest.
+  * (MinHash bands — engine-specific xxhash64) get the weaker rows-only
+  * check and are instead oracled in ScalaTest. SimHash (md5-derived
+  * hash) and ANN-LSH (literal ±1 hyperplanes) are engine-portable by
+  * construction and carry exact DuckDB oracles.
   */
 object SparkEntry {
 
@@ -36,11 +38,16 @@ object SparkEntry {
   private def records(s: SparkSession, dir: String): DataFrame =
     Stages.records(s, dir)
 
-  private def pipelineLabels(s: SparkSession, dir: String): DataFrame = {
-    val tier = Tiers.tierFor(dir)
-    Pipeline.run(s, Tiers.ensureTranscripts(s, tier),
-      Pipeline.Config(checkpointRoot = s"/root/repo/target/graft-ckpt/${tier.name}"))
-  }
+  /** Session-cached: four queries consume the pipeline labeling, and a
+    * warm Pipeline.run call still pays fingerprint + manifest checks per
+    * call — once per session is enough (deterministic inputs).
+    */
+  private def pipelineLabels(s: SparkSession, dir: String): DataFrame =
+    Stages.cached("pipeline_labels", dir) {
+      val tier = Tiers.tierFor(dir)
+      Pipeline.run(s, Tiers.ensureTranscripts(s, tier),
+        Pipeline.Config(checkpointRoot = s"/root/repo/target/graft-ckpt/${tier.name}"))
+    }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -72,34 +79,30 @@ object SparkEntry {
 
     // ER: blocking (§2.4)
     "er_blocks_strong" -> ((s, dir) =>
-      Blocking.blockSizes(Blocking.strongBlocks(records(s, dir)))),
+      Blocking.blockSizes(Stages.strongBlocks(s, dir))),
     "er_blocks_token" -> ((s, dir) =>
-      Blocking.blockSizes(Blocking.tokenBlocks(records(s, dir)))),
+      Blocking.blockSizes(Stages.tokenBlocks(s, dir))),
     "er_blocks_minhash" -> ((s, dir) =>
       Blocking.blockSizes(Blocking.minhashBlocks(records(s, dir)))),
     "er_blocks_time" -> ((s, dir) =>
-      Blocking.blockSizes(Blocking.timeBlocks(records(s, dir)))),
-    "er_dropped_blocks" -> ((s, dir) => {
-      val recs = records(s, dir)
+      Blocking.blockSizes(Stages.timeBlocks(s, dir))),
+    "er_dropped_blocks" -> ((s, dir) =>
       Pairs.droppedBlockStats(
-        Blocking.strongBlocks(recs).unionByName(Blocking.tokenBlocks(recs)))
-    }),
+        Stages.strongBlocks(s, dir).unionByName(Stages.tokenBlocks(s, dir)))),
 
     // ER: candidate pairs (§2.5)
     "er_pairs_strong" -> ((s, dir) =>
-      Pairs.candidatePairs(Blocking.strongBlocks(records(s, dir)))),
+      Pairs.candidatePairs(Stages.strongBlocks(s, dir))),
     "er_pairs_sql_universe" -> ((s, dir) =>
       Stages.sqlUniversePairs(s, dir)),
     // three of the four block families under one exact DuckDB oracle
     // (round-2 VERDICT "Next round" #6 — only minhash bands stay
     // engine-specific)
-    "er_pairs_universe3" -> ((s, dir) => {
-      val recs = records(s, dir)
+    "er_pairs_universe3" -> ((s, dir) =>
       Pairs.candidatePairs(
-        Blocking.strongBlocks(recs)
-          .unionByName(Blocking.tokenBlocks(recs))
-          .unionByName(Blocking.timeBlocks(recs)))
-    }),
+        Stages.strongBlocks(s, dir)
+          .unionByName(Stages.tokenBlocks(s, dir))
+          .unionByName(Stages.timeBlocks(s, dir)))),
     "er_candidate_pairs" -> ((s, dir) => Stages.fullPairs(s, dir)),
 
     // ER: scoring (§2.9, F6/F7)
@@ -135,12 +138,10 @@ object SparkEntry {
           round(col("score"), 6).as("score"), col("is_match"))),
 
     // ER: clustering (§2.10)
-    "er_cc_strong" -> ((s, dir) => {
-      val recs = records(s, dir)
+    "er_cc_strong" -> ((s, dir) =>
       ConnectedComponents.run(
-        Pairs.candidatePairs(Blocking.strongBlocks(recs)),
-        recs.select(col("conv_id")))
-    }),
+        Pairs.candidatePairs(Stages.strongBlocks(s, dir)),
+        records(s, dir).select(col("conv_id")))),
     "er_cc_full" -> ((s, dir) => Stages.ccFull(s, dir)),
     "er_cluster_sizes" -> ((s, dir) =>
       ErMetrics.clusterSizeHistogram(Stages.ccFull(s, dir))),
@@ -218,6 +219,24 @@ object SparkEntry {
           round(col("precision"), 6).as("precision"),
           round(col("recall"), 6).as("recall"),
           round(col("f1"), 6).as("f1"))
+    }),
+
+    // ER: incremental attach — the daily-ingest path (new records join
+    // an existing entity catalog without re-clustering). Deterministic
+    // split: md5-bucket 9 of conv_ids plays the "new batch", 0-8 the
+    // existing corpus; the base chain is the same strong∪token pipeline
+    // the er_cc_full oracle reproduces, restricted to the base split.
+    "er_incremental" -> ((s, dir) => {
+      val recs = records(s, dir)
+      val bucket = Sampling.hashBucket(col("conv_id"), 10L)
+      val base = recs.filter(bucket < 9)
+      val newr = recs.filter(bucket === 9)
+      val basePairs = Pairs.candidatePairs(
+        Blocking.strongBlocks(base).unionByName(Blocking.tokenBlocks(base)))
+      val labels = ConnectedComponents.run(
+        Scoring.matchEdges(Scoring.score(Pairs.hydrate(basePairs, base))),
+        base.select(col("conv_id")))
+      Incremental.attach(newr, Entities.fuse(base, labels))
     }),
 
     // ER: blocking quality + cluster-level metric families (B3, E2)
@@ -609,6 +628,74 @@ object SparkEntry {
         | SELECT a_id, b_id, is_match FROM lab, th
         | WHERE ('0x' || substr(md5(a_id || '|' || b_id),1,8))::BIGINT % 1000000
         |    < CASE WHEN is_match THEN (tt*1000000)//np ELSE (tt*1000000)//nn END""".stripMargin),
+    "er_incremental" -> (RECS +
+      // base-split pipeline (same shape as PAIRS/CC_FULL, restricted to
+      // md5 buckets 0-8) → fused entities → inverted-index attach of
+      // bucket-9 records: strong-key hit OR catalog-df-capped rare-token
+      // hit, best match by (strong_hit desc, jaccard desc, entity_id asc),
+      // unmatched records mint themselves
+      """, basei AS (SELECT * FROM tsets WHERE ('0x' || substr(md5(conv_id),1,8))::BIGINT % 10 < 9),
+        | newi AS (SELECT * FROM tsets WHERE ('0x' || substr(md5(conv_id),1,8))::BIGINT % 10 = 9),
+        | btokex AS (SELECT conv_id, unnest(token_set) AS tok FROM basei),
+        | brare AS (SELECT tok FROM btokex GROUP BY tok HAVING count(*) <= 50),
+        | bskeys AS (SELECT strong_key FROM basei WHERE strong_key <> '' GROUP BY 1 HAVING count(*) <= 1000),
+        | bspairs AS (
+        |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM basei a JOIN basei b
+        |  ON a.strong_key = b.strong_key AND a.conv_id < b.conv_id
+        |  JOIN bskeys sk ON sk.strong_key = a.strong_key
+        | ), btpairs AS (
+        |  SELECT DISTINCT a.conv_id AS a_id, b.conv_id AS b_id
+        |  FROM btokex a JOIN brare r ON r.tok = a.tok
+        |  JOIN btokex b ON a.tok = b.tok AND a.conv_id < b.conv_id
+        | ), buniverse AS (
+        |  SELECT a_id, b_id FROM bspairs UNION SELECT a_id, b_id FROM btpairs
+        | ), bedges AS (
+        |  SELECT u.a_id, u.b_id FROM buniverse u
+        |  JOIN basei ta ON ta.conv_id = u.a_id
+        |  JOIN basei tb ON tb.conv_id = u.b_id
+        |  WHERE (ta.strong_key <> '' AND ta.strong_key = tb.strong_key)
+        |     OR len(list_intersect(ta.token_set, tb.token_set)) * 1.0 /
+        |        len(list_distinct(ta.token_set || tb.token_set)) >= 0.45
+        | ), bbidir AS (
+        |  SELECT a_id AS s, b_id AS d FROM bedges
+        |  UNION ALL SELECT b_id, a_id FROM bedges
+        | ), bcc AS (
+        |  WITH RECURSIVE reach(node, lbl) AS (
+        |    SELECT conv_id, conv_id FROM basei
+        |    UNION
+        |    SELECT e.d, r.lbl FROM reach r JOIN bbidir e ON e.s = r.node
+        |  )
+        |  SELECT node AS conv_id, min(lbl) AS entity_id FROM reach GROUP BY node
+        | ), ents AS (
+        |  SELECT bcc.entity_id,
+        |    list_sort(list_distinct(flatten(list(t.token_set)))) AS token_union,
+        |    coalesce(list_sort(list_distinct(list(t.strong_key) FILTER (WHERE t.strong_key <> ''))), []) AS strong_keys_union
+        |  FROM bcc JOIN basei t USING (conv_id) GROUP BY 1
+        | ), eidx_tok AS (SELECT entity_id, unnest(token_union) AS tok FROM ents),
+        | erare AS (SELECT tok FROM eidx_tok GROUP BY tok HAVING count(*) <= 50),
+        | cand AS (
+        |  SELECT n.conv_id, e.entity_id FROM newi n
+        |  JOIN ents e ON n.strong_key <> '' AND list_contains(e.strong_keys_union, n.strong_key)
+        |  UNION
+        |  SELECT nx.conv_id, i.entity_id
+        |  FROM (SELECT conv_id, unnest(token_set) AS tok FROM newi) nx
+        |  JOIN erare r ON r.tok = nx.tok
+        |  JOIN eidx_tok i ON i.tok = nx.tok
+        | ), scoredc AS (
+        |  SELECT c.conv_id, c.entity_id,
+        |    (n.strong_key <> '' AND list_contains(e.strong_keys_union, n.strong_key)) AS strong_hit,
+        |    len(list_intersect(n.token_set, e.token_union)) * 1.0 /
+        |      len(list_distinct(n.token_set || e.token_union)) AS jac
+        |  FROM cand c
+        |  JOIN newi n ON n.conv_id = c.conv_id
+        |  JOIN ents e ON e.entity_id = c.entity_id
+        | ), best AS (
+        |  SELECT conv_id, entity_id,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY strong_hit DESC, jac DESC, entity_id ASC) AS rn
+        |  FROM scoredc WHERE strong_hit OR jac >= 0.45
+        | )
+        | SELECT n.conv_id, coalesce(b.entity_id, n.conv_id) AS entity_id
+        | FROM newi n LEFT JOIN best b ON b.conv_id = n.conv_id AND b.rn = 1""".stripMargin),
     "er_blocking_recall" -> (PAIRS + TRUTH +
       """, tpr AS (
         |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM truth a JOIN truth b
@@ -691,6 +778,30 @@ object SparkEntry {
         | SELECT a_doc, b_doc, round(ci*1.0/(sa.n + sb.n - ci), 6) AS jac
         | FROM inter JOIN sizes sa ON sa.doc_id = a_doc JOIN sizes sb ON sb.doc_id = b_doc
         | WHERE ci*1.0/(sa.n + sb.n - ci) >= 0.6""".stripMargin),
+    "dedup_simhash" -> (DOCTOKS +
+      // bit-exact SimHash oracle: same md5-derived 64-bit token hash
+      // (Features.md5Long64), same MSB-first vote fold (vote of hash-bit
+      // i lands at signature bit 63-i), same 4×16-bit banding, same
+      // bit_count(xor) Hamming verify
+      """, h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+        |  FROM (SELECT doc_id, unnest(tokens) AS t FROM d) q
+        |), bits AS (
+        |  SELECT doc_id, i, sum(CASE WHEN (h >> i::INT) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN generate_series(0, 63) g(i)
+        |  GROUP BY doc_id, i
+        |), sim AS (
+        |  SELECT doc_id, bit_or(CASE WHEN vote > 0 THEN 1::UBIGINT << (63 - i)::INT ELSE 0::UBIGINT END) AS sim
+        |  FROM bits GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, sim, b || ':' || ((sim >> (b * 16)::INT) & 65535::UBIGINT) AS bkey
+        |  FROM sim CROSS JOIN generate_series(0, 3) gb(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc,
+        |    bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |)
+        | SELECT a_doc, b_doc, hamming FROM cand WHERE hamming <= 3""".stripMargin),
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
         |SELECT a.vec_id AS a_vec, b.vec_id AS b_vec,
@@ -706,6 +817,30 @@ object SparkEntry {
         |  FROM q JOIN e ON e.vec_id <> q.q_id
         |)
         |SELECT q_id, rank, neighbor, round(cos, 6) AS cos FROM scored WHERE rank <= 5""".stripMargin,
+    // exact LSH oracle: the hyperplanes are deterministic ±1 literals
+    // (Ann.hyperplanes — no RNG state), so the SAME literals are inlined
+    // here and DuckDB reproduces bucket assignment, the 7-probe
+    // (Hamming-≤1) neighborhood, and the exact cosine re-rank
+    "ann_lsh_topk" -> {
+      val planes = graft.ann.Ann.hyperplanes(6, 64)
+      val cases = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"(CASE WHEN list_inner_product(emb, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, $cases AS bucket FROM e),
+         |q AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb,
+         |    unnest([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8), xor(bucket,16), xor(bucket,32)]) AS q_bucket
+         |  FROM b WHERE vec_id < 10
+         |), scored AS (
+         |  SELECT q.q_id, c.vec_id AS neighbor, list_cosine_similarity(q.q_emb, c.emb) AS cos,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY list_cosine_similarity(q.q_emb, c.emb) DESC, c.vec_id ASC) AS rank
+         |  FROM q JOIN b c ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id
+         |)
+         |SELECT q_id, rank, neighbor, round(cos, 6) AS cos FROM scored WHERE rank <= 5""".stripMargin
+    },
     "q1_agg" ->
       "SELECT l_returnflag, round(sum(l_quantity::DOUBLE), 2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "q_join_nation_revenue" ->

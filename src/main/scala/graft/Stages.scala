@@ -36,6 +36,22 @@ object Stages {
       Features.enrich(Collapse.collapse(Tiers.transcriptsFor(s, dir)))
     }
 
+  /** Cached block families. tokenBlocks is the expensive one (token
+    * explode + df-cap agg + join — ~26 s at sf0.1); without the cache it
+    * re-derives for every consumer (er_blocks_token, er_dropped_blocks,
+    * er_pairs_universe3, the universe itself), which both wastes work
+    * and mis-attributes it to whichever query runs first (round-2
+    * VERDICT "What's wrong" #3).
+    */
+  def strongBlocks(s: SparkSession, dir: String): DataFrame =
+    cached("blocks_strong", dir)(Blocking.strongBlocks(records(s, dir)))
+
+  def tokenBlocks(s: SparkSession, dir: String): DataFrame =
+    cached("blocks_token", dir)(Blocking.tokenBlocks(records(s, dir)))
+
+  def timeBlocks(s: SparkSession, dir: String): DataFrame =
+    cached("blocks_time", dir)(Blocking.timeBlocks(records(s, dir)))
+
   /** SQL-expressible candidate universe: strong-key ∪ rare-token pairs.
     * Runs the PRODUCTION pair config (block cap + hot-block salting) —
     * round-1 VERDICT flagged the uncapped oracle path as a quadratic
@@ -45,9 +61,8 @@ object Stages {
     */
   def sqlUniversePairs(s: SparkSession, dir: String): DataFrame =
     cached("sql_universe", dir) {
-      val recs = records(s, dir)
       Pairs.candidatePairs(
-        Blocking.strongBlocks(recs).unionByName(Blocking.tokenBlocks(recs)))
+        strongBlocks(s, dir).unionByName(tokenBlocks(s, dir)))
     }
 
   def sqlUniverseScored(s: SparkSession, dir: String): DataFrame =
@@ -55,10 +70,17 @@ object Stages {
       Scoring.score(Pairs.hydrate(sqlUniversePairs(s, dir), records(s, dir)))
     }
 
-  /** Full candidate pairs (strong ∪ capped-token ∪ MinHash-LSH blocks). */
+  /** Full candidate pairs (strong ∪ capped-token ∪ MinHash-LSH ∪ time
+    * blocks) — allBlocks recomposed from the cached families (minhash
+    * bands are a cheap explode of the precomputed mh_bands column).
+    */
   def fullPairs(s: SparkSession, dir: String): DataFrame =
     cached("full_pairs", dir) {
-      Pairs.candidatePairs(Blocking.allBlocks(records(s, dir)))
+      Pairs.candidatePairs(
+        strongBlocks(s, dir)
+          .unionByName(tokenBlocks(s, dir))
+          .unionByName(Blocking.minhashBlocks(records(s, dir)))
+          .unionByName(timeBlocks(s, dir)))
     }
 
   def fullScored(s: SparkSession, dir: String): DataFrame =

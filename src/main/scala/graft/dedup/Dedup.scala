@@ -122,14 +122,20 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit SimHash over the token multiset;
     * pairs from 4×16-bit band buckets (any pair at Hamming distance ≤ 3
     * must agree on ≥ 1 of 4 bands — pigeonhole); verify
-    * bit_count(a XOR b) ≤ maxHamming.
+    * bit_count(a XOR b) ≤ maxHamming. Built on the md5-derived token
+    * hash (Features.md5Long64), so the WHOLE operator — signature, band
+    * buckets, Hamming filter — is reproduced bit-exactly by the DuckDB
+    * oracle (no weaker rows-only check). Token-less docs are excluded:
+    * they carry no signal and would otherwise all collide at sim = 0.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     // simhash64 is a 64-bit-per-token interpreted HOF fold — by far the
     // most expensive per-doc feature here; both join sides read it from
     // this one persisted pass
     val docs = documents
-      .withColumn("sim", Features.simhash64(TextOps.docTokens(col("text"))))
+      .withColumn("toks", TextOps.docTokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sim", Features.simhash64(col("toks")))
       .select("doc_id", "sim")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = docs.select(col("doc_id"), col("sim"),
@@ -142,7 +148,7 @@ object Dedup {
         .join(bands.as("b"),
           col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"),
-          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
         .dropDuplicates("a_doc", "b_doc")
         .filter(col("hamming") <= maxHamming)
         .localCheckpoint(true)

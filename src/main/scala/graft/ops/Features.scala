@@ -99,15 +99,32 @@ object Features {
               element_at(sig, b * rowsPerBand + r + 1).cast("string"))): _*))
     ).otherwise(array().cast("array<string>"))
 
-  /** SimHash-64 over a token multiset: per-bit vote of xxhash64(token),
-    * pure HOFs. Used by near-dup detection (dedup module).
+  /** Engine-portable 64-bit string hash: the first 16 hex chars of md5,
+    * assembled from two 32-bit halves with bit-ops only (long ARITHMETIC
+    * on values with the top bit set would trip ANSI overflow checks;
+    * shifts and ors cannot). DuckDB computes the identical bit pattern
+    * as ('0x' || substr(md5(x), 1, 16))::UBIGINT, which makes operators
+    * built on this hash (SimHash) exactly DuckDB-oracle-able — unlike
+    * xxhash64, which no other engine reproduces.
+    */
+  def md5Long64(x: Column): Column =
+    shiftleft(conv(substring(md5(x), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(x), 9, 8), 16, 10).cast("long"))
+
+  /** SimHash-64 over a token multiset: per-bit vote of md5Long64(token),
+    * pure HOFs. Used by near-dup detection (dedup module). The token
+    * hash is computed ONCE per token (the outer transform), not once per
+    * (token, bit) — md5 is ~10× costlier than xxhash64, so hoisting it
+    * out of the 64-bit inner loop matters; bit i of the hash feeds vote
+    * i, and votes fold MSB-first into the signature.
     */
   def simhash64(tokens: Column): Column = {
-    val votes = aggregate(tokens,
+    val hashes = transform(tokens, x => md5Long64(x))
+    val votes = aggregate(hashes,
       array_repeat(lit(0L), 64),
-      (acc, x) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftrightunsigned", xxhash64(x), i)
+          i => when(call_function("shiftrightunsigned", h, i)
               .bitwiseAND(lit(1L)) === 1L, lit(1L))
             .otherwise(lit(-1L))),
         (a, b) => a + b))
