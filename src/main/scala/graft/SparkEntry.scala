@@ -374,7 +374,7 @@ object SparkEntry {
       |  SELECT conv_id, n_turns, strong_key, first_text, text_all, ts0,
       |    list_filter(string_split(lower(regexp_replace(text_all, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS tokens
       |  FROM recs
-      |), tsets AS (
+      |), tsets AS MATERIALIZED (
       |  SELECT *, list_sort(list_distinct(tokens)) AS token_set FROM toks
       |)""".stripMargin
 
@@ -382,7 +382,7 @@ object SparkEntry {
     * match edges, mirroring sqlUniversePairs/sqlUniverseScored.
     */
   private val PAIRS = RECS +
-    """, tokex AS (
+    """, tokex AS MATERIALIZED (
       |  SELECT conv_id, unnest(token_set) AS tok FROM tsets
       |), rare AS (
       |  SELECT tok FROM tokex GROUP BY tok HAVING count(*) <= 50
@@ -397,7 +397,7 @@ object SparkEntry {
       |  SELECT DISTINCT a.conv_id AS a_id, b.conv_id AS b_id
       |  FROM tokex a JOIN rare r ON r.tok = a.tok
       |  JOIN tokex b ON a.tok = b.tok AND a.conv_id < b.conv_id
-      |), universe AS (
+      |), universe AS MATERIALIZED (
       |  SELECT a_id, b_id FROM spairs UNION SELECT a_id, b_id FROM tpairs
       |), feats AS (
       |  SELECT u.a_id, u.b_id,
@@ -419,7 +419,7 @@ object SparkEntry {
     """, bidir AS (
       |  SELECT a_id AS s, b_id AS d FROM edges
       |  UNION ALL SELECT b_id, a_id FROM edges
-      |), cc AS (
+      |), cc AS MATERIALIZED (
       |  WITH RECURSIVE reach(node, lbl) AS (
       |    SELECT conv_id, conv_id FROM tsets
       |    UNION
@@ -427,6 +427,97 @@ object SparkEntry {
       |  )
       |  SELECT node AS conv_id, min(lbl) AS entity_id FROM reach GROUP BY node
       |)""".stripMargin
+
+  /** MinHash-LSH band keys of the record corpus, reproduced EXACTLY:
+    * the native expression (functions.MinHashBands) hashes each shingle
+    * once with md5, seeds the double-hashing bank h_i = h1 + i·h2
+    * (wrap-around), tracks unsigned minima, and emits "M|b|m0|m1" —
+    * every step below is the same arithmetic in DuckDB types.
+    */
+  /** The 32 minima as WIDE aggregates in one pass over the shingle-hash
+    * rows (a CROSS JOIN generate_series(0,31) formulation was 32× the
+    * rows and an extra group-by — measured 8× slower end-to-end).
+    */
+  private def mhBandChain(src: String, idCol: String, p: String): String = {
+    val minCols = (0 until Features.NumHashes).map(i =>
+      s"min(((h1::HUGEINT + $i * h2::HUGEINT) % 18446744073709551616)::UBIGINT) AS m$i")
+      .mkString(", ")
+    val bandLits = (0 until Features.NumBands).map(b =>
+      s"'M|$b|' || m${2 * b} || '|' || m${2 * b + 1}").mkString("[", ", ", "]")
+    s""", ${p}h2 AS (
+       |  SELECT $idCol,
+       |    ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h1,
+       |    ('0x' || substr(md5(s), 17, 16))::UBIGINT AS h2
+       |  FROM $src
+       |), ${p}sig AS (
+       |  SELECT $idCol, $minCols FROM ${p}h2 GROUP BY $idCol
+       |), ${p}bands AS MATERIALIZED (
+       |  SELECT $idCol, unnest($bandLits) AS bkey FROM ${p}sig
+       |)""".stripMargin
+  }
+
+  private val MHB =
+    """, shingx AS (
+      |  SELECT conv_id, unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+      |                     for i in generate_series(1, len(tokens)-2)])) AS s
+      |  FROM tsets
+      |)""".stripMargin +
+      mhBandChain("shingx", "conv_id", "mh")
+
+  /** The PRODUCTION candidate universe: all four block families
+    * (strong ∪ rare-token ∪ MinHash-LSH ∪ time), block-size cap 1000 —
+    * exactly Stages.fullPairs / the pipeline's pairs stage.
+    */
+  private val FULLPAIRS = RECS + MHB +
+    """, tokex4 AS MATERIALIZED (SELECT conv_id, unnest(token_set) AS tok FROM tsets),
+      | rare4 AS (SELECT tok FROM tokex4 GROUP BY tok HAVING count(*) <= 50),
+      | blocks4 AS MATERIALIZED (
+      |  SELECT conv_id, strong_key AS bkey FROM tsets WHERE strong_key <> ''
+      |  UNION ALL
+      |  SELECT a.conv_id, 'W:' || a.tok FROM tokex4 a JOIN rare4 r ON r.tok = a.tok
+      |  UNION ALL
+      |  SELECT conv_id, 'H:' || CAST(floor(epoch(ts0)/3600) AS BIGINT) || '|' || n_turns FROM tsets
+      |  UNION ALL
+      |  SELECT conv_id, bkey FROM mhbands
+      | ), keep4 AS (SELECT bkey FROM blocks4 GROUP BY bkey HAVING count(*) <= 1000),
+      | kept4 AS MATERIALIZED (SELECT b.conv_id, b.bkey FROM blocks4 b JOIN keep4 USING (bkey)),
+      | fpairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.conv_id AS a_id, b.conv_id AS b_id
+      |  FROM kept4 a JOIN kept4 b ON a.bkey = b.bkey AND a.conv_id < b.conv_id
+      | )""".stripMargin
+
+  /** + scored features and match edges over the full universe — the
+    * pipeline's scored stage (weak_strong rule).
+    */
+  private val FULLEDGES = FULLPAIRS +
+    """, ffeats AS MATERIALIZED (
+      |  SELECT u.a_id, u.b_id,
+      |    len(list_intersect(ta.token_set, tb.token_set)) * 1.0 /
+      |      len(list_distinct(ta.token_set || tb.token_set)) AS jac,
+      |    (ta.strong_key <> '' AND ta.strong_key = tb.strong_key) AS strong_share
+      |  FROM fpairs u
+      |  JOIN tsets ta ON ta.conv_id = u.a_id
+      |  JOIN tsets tb ON tb.conv_id = u.b_id
+      | ), fedges AS MATERIALIZED (
+      |  SELECT a_id, b_id FROM ffeats WHERE strong_share OR jac >= 0.45
+      | )""".stripMargin
+
+  /** + connected components over the full-universe edges — the PIPELINE
+    * labeling (Pipeline.run's entities stage), as opposed to CC_FULL's
+    * SQL-universe labeling.
+    */
+  private val FULLCC = FULLEDGES +
+    """, fbidir AS (
+      |  SELECT a_id AS s, b_id AS d FROM fedges
+      |  UNION ALL SELECT b_id, a_id FROM fedges
+      | ), fcc AS MATERIALIZED (
+      |  WITH RECURSIVE freach(node, lbl) AS (
+      |    SELECT conv_id, conv_id FROM tsets
+      |    UNION
+      |    SELECT e.d, r.lbl FROM freach r JOIN fbidir e ON e.s = r.node
+      |  )
+      |  SELECT node AS conv_id, min(lbl) AS entity_id FROM freach GROUP BY node
+      | )""".stripMargin
 
   /** Truth labels for the t2 corpus (path templated per-tier by
     * oracleSqlFor).
@@ -480,6 +571,109 @@ object SparkEntry {
       """ SELECT 'H:' || CAST(floor(epoch(ts0)/3600) AS BIGINT) || '|' || n_turns AS bkey,
         |  count(*) AS block_size
         | FROM tsets GROUP BY 1""".stripMargin),
+    "er_blocks_minhash" -> (RECS + MHB +
+      " SELECT bkey, count(*) AS block_size FROM mhbands GROUP BY 1"),
+    "er_candidate_pairs" -> (FULLPAIRS +
+      " SELECT a_id, b_id FROM fpairs"),
+    "er_scored_pairs" -> (FULLEDGES +
+      // logistic score: z = -9 + 18·strong + 20·jac (lev/jw weights are
+      // 0 in DefaultWeights); jac is an exact integer ratio, so z and
+      // the rounded sigmoid agree across engines
+      """ SELECT a_id, b_id, strong_share AS strong_overlap,
+        |  round(1.0 / (1.0 + exp(-(-9.0 + CASE WHEN strong_share THEN 18.0 ELSE 0.0 END + 20.0 * jac))), 6) AS score,
+        |  (strong_share OR jac >= 0.45) AS is_match
+        | FROM ffeats""".stripMargin),
+    "er_f1_pipeline" -> (FULLCC + TRUTH +
+      """, tpr AS MATERIALIZED (
+        |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM truth a JOIN truth b
+        |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
+        | ), ppr AS MATERIALIZED (
+        |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM fcc a JOIN fcc b
+        |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
+        | ), counts AS (
+        |  SELECT
+        |   (SELECT count(*) FROM (SELECT * FROM ppr INTERSECT SELECT * FROM tpr)) AS tp,
+        |   (SELECT count(*) FROM (SELECT * FROM ppr EXCEPT SELECT * FROM tpr)) AS fp,
+        |   (SELECT count(*) FROM (SELECT * FROM tpr EXCEPT SELECT * FROM ppr)) AS fn
+        | )
+        | SELECT tp, fp, fn,
+        |  round(CASE WHEN tp+fp = 0 THEN 1.0 ELSE tp*1.0/(tp+fp) END, 6) AS precision,
+        |  round(CASE WHEN tp+fn = 0 THEN 1.0 ELSE tp*1.0/(tp+fn) END, 6) AS recall,
+        |  round(CASE WHEN tp+fp+fn = 0 THEN 1.0 WHEN tp = 0 THEN 0.0 ELSE 2.0*(tp*1.0/(tp+fp))*(tp*1.0/(tp+fn))/((tp*1.0/(tp+fp))+(tp*1.0/(tp+fn))) END, 6) AS f1
+        | FROM counts""".stripMargin),
+    "er_bcubed" -> (FULLCC + TRUTH +
+      """, fj AS (
+        |  SELECT t.entity_id AS t, c.entity_id AS p FROM truth t JOIN fcc c USING (conv_id)
+        | ), fcells AS MATERIALIZED (
+        |  SELECT t, p, count(*) AS ci FROM fj GROUP BY 1, 2
+        | ), fts AS (SELECT t, sum(ci) AS ct FROM fcells GROUP BY t),
+        | fps AS (SELECT p, sum(ci) AS cp FROM fcells GROUP BY p),
+        | fagg AS (
+        |  SELECT sum(ci*ci*1.0/cp) AS psum, sum(ci*ci*1.0/ct) AS rsum, sum(ci) AS n
+        |  FROM fcells JOIN fts USING (t) JOIN fps USING (p)
+        | )
+        | SELECT round(psum/n, 6) AS bp, round(rsum/n, 6) AS br,
+        |  round(CASE WHEN psum+rsum = 0 THEN 0.0 ELSE 2*(psum/n)*(rsum/n)/((psum/n)+(rsum/n)) END, 6) AS bf
+        | FROM fagg""".stripMargin),
+    "er_f1_swoosh" -> (FULLCC + TRUTH +
+      // one merge-enabled refinement round over the fused entities
+      // (Swoosh.refine): entity-level strong∪token blocks (df caps
+      // recomputed ON THE CATALOG), pairs capped at 1000, weak_strong
+      // rule over the fused value sets, entity-graph CC, relabel, then
+      // unrestricted pairwise F1 vs truth
+      """, sents AS MATERIALIZED (
+        |  SELECT fcc.entity_id AS eid,
+        |    list_sort(list_distinct(flatten(list(t.token_set)))) AS tku,
+        |    coalesce(list_sort(list_distinct(list(t.strong_key) FILTER (WHERE t.strong_key <> ''))), []) AS sku
+        |  FROM fcc JOIN tsets t USING (conv_id) GROUP BY 1
+        | ), setokex AS (SELECT eid, unnest(tku) AS tok FROM sents),
+        | serare AS (SELECT tok FROM setokex GROUP BY tok HAVING count(*) <= 50),
+        | seblocks AS MATERIALIZED (
+        |  SELECT eid, 'W:' || a.tok AS bkey FROM setokex a JOIN serare r ON r.tok = a.tok
+        |  UNION ALL
+        |  SELECT eid, bkey FROM (SELECT eid, unnest(sku) AS bkey FROM sents) q
+        | ), sekeep AS (SELECT bkey FROM seblocks GROUP BY bkey HAVING count(*) <= 1000),
+        | sekept AS MATERIALIZED (SELECT b.eid, b.bkey FROM seblocks b JOIN sekeep USING (bkey)),
+        | sepairs AS (
+        |  SELECT DISTINCT a.eid AS a_e, b.eid AS b_e
+        |  FROM sekept a JOIN sekept b ON a.bkey = b.bkey AND a.eid < b.eid
+        | ), seedges AS MATERIALIZED (
+        |  SELECT p.a_e, p.b_e FROM sepairs p
+        |  JOIN sents ea ON ea.eid = p.a_e
+        |  JOIN sents eb ON eb.eid = p.b_e
+        |  WHERE len(list_intersect(ea.sku, eb.sku)) > 0
+        |     OR len(list_intersect(ea.tku, eb.tku)) * 1.0 /
+        |        len(list_distinct(ea.tku || eb.tku)) >= 0.45
+        | ), sebidir AS (
+        |  SELECT a_e AS s, b_e AS d FROM seedges
+        |  UNION ALL SELECT b_e, a_e FROM seedges
+        | ), secc AS (
+        |  WITH RECURSIVE sreach(node, lbl) AS (
+        |    SELECT eid, eid FROM sents
+        |    UNION
+        |    SELECT e.d, r.lbl FROM sreach r JOIN sebidir e ON e.s = r.node
+        |  )
+        |  SELECT node AS old_e, min(lbl) AS new_e FROM sreach GROUP BY node
+        | ), relab AS MATERIALIZED (
+        |  SELECT f.conv_id, coalesce(s.new_e, f.entity_id) AS entity_id
+        |  FROM fcc f LEFT JOIN secc s ON s.old_e = f.entity_id
+        | ), tpr AS MATERIALIZED (
+        |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM truth a JOIN truth b
+        |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
+        | ), ppr AS MATERIALIZED (
+        |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM relab a JOIN relab b
+        |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
+        | ), counts AS (
+        |  SELECT
+        |   (SELECT count(*) FROM (SELECT * FROM ppr INTERSECT SELECT * FROM tpr)) AS tp,
+        |   (SELECT count(*) FROM (SELECT * FROM ppr EXCEPT SELECT * FROM tpr)) AS fp,
+        |   (SELECT count(*) FROM (SELECT * FROM tpr EXCEPT SELECT * FROM ppr)) AS fn
+        | )
+        | SELECT tp, fp, fn,
+        |  round(CASE WHEN tp+fp = 0 THEN 1.0 ELSE tp*1.0/(tp+fp) END, 6) AS precision,
+        |  round(CASE WHEN tp+fn = 0 THEN 1.0 ELSE tp*1.0/(tp+fn) END, 6) AS recall,
+        |  round(CASE WHEN tp+fp+fn = 0 THEN 1.0 WHEN tp = 0 THEN 0.0 ELSE 2.0*(tp*1.0/(tp+fp))*(tp*1.0/(tp+fn))/((tp*1.0/(tp+fp))+(tp*1.0/(tp+fn))) END, 6) AS f1
+        | FROM counts""".stripMargin),
     "er_pairs_universe3" -> (RECS +
       """, tokex AS (SELECT conv_id, unnest(token_set) AS tok FROM tsets),
         | rare AS (SELECT tok FROM tokex GROUP BY tok HAVING count(*) <= 50),
@@ -555,7 +749,7 @@ object SparkEntry {
         |), bidir AS (
         |  SELECT a_id AS s, b_id AS d FROM spairs
         |  UNION ALL SELECT b_id, a_id FROM spairs
-        |), cc AS (
+        |), cc AS MATERIALIZED (
         |  WITH RECURSIVE reach(node, lbl) AS (
         |    SELECT conv_id, conv_id FROM recs
         |    UNION
@@ -572,10 +766,10 @@ object SparkEntry {
     "er_f1_sql" -> (CC_FULL +
       """, truth AS (
         |  SELECT * FROM read_parquet('/root/repo/target/graft-data/t2/labels.parquet/*.parquet')
-        |), tpr AS (
+        |), tpr AS MATERIALIZED (
         |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM truth a JOIN truth b
         |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
-        |), ppr AS (
+        |), ppr AS MATERIALIZED (
         |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM cc a JOIN cc b
         |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
         |), tu AS (SELECT * FROM tpr INTERSECT SELECT * FROM universe),
@@ -697,7 +891,7 @@ object SparkEntry {
         | SELECT n.conv_id, coalesce(b.entity_id, n.conv_id) AS entity_id
         | FROM newi n LEFT JOIN best b ON b.conv_id = n.conv_id AND b.rn = 1""".stripMargin),
     "er_blocking_recall" -> (PAIRS + TRUTH +
-      """, tpr AS (
+      """, tpr AS MATERIALIZED (
         |  SELECT a.conv_id AS a_id, b.conv_id AS b_id FROM truth a JOIN truth b
         |  ON a.entity_id = b.entity_id AND a.conv_id < b.conv_id
         |)
@@ -778,6 +972,29 @@ object SparkEntry {
         | SELECT a_doc, b_doc, round(ci*1.0/(sa.n + sb.n - ci), 6) AS jac
         | FROM inter JOIN sizes sa ON sa.doc_id = a_doc JOIN sizes sb ON sb.doc_id = b_doc
         | WHERE ci*1.0/(sa.n + sb.n - ci) >= 0.6""".stripMargin),
+    "dedup_minhash" -> (DOCTOKS +
+      // same md5-seeded double-hashing MinHash bank as the records-side
+      // MHB oracle, over document 3-shingle sets; bucket-join candidates,
+      // exact shingle-Jaccard verify >= 0.6 — reproduces minhashPairs
+      // bit-for-bit including the band keys
+      """, dsh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+        |    for i in generate_series(1, len(tokens)-2)]) AS shingles
+        |  FROM d WHERE len(tokens) >= 3
+        |), dshx AS (SELECT doc_id, unnest(shingles) AS s FROM dsh)""".stripMargin +
+      mhBandChain("dshx", "doc_id", "d") +
+      """, dcand AS (
+        |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |  FROM dbands a JOIN dbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |)
+        | SELECT c.a_doc, c.b_doc,
+        |  round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+        |        len(list_distinct(sa.shingles || sb.shingles)), 6) AS jac
+        | FROM dcand c
+        | JOIN dsh sa ON sa.doc_id = c.a_doc
+        | JOIN dsh sb ON sb.doc_id = c.b_doc
+        | WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+        |       len(list_distinct(sa.shingles || sb.shingles)) >= 0.6""".stripMargin),
     "dedup_simhash" -> (DOCTOKS +
       // bit-exact SimHash oracle: same md5-derived 64-bit token hash
       // (Features.md5Long64), same MSB-first vote fold (vote of hash-bit

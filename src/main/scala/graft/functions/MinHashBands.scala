@@ -9,25 +9,37 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash-LSH band keys as ONE native Catalyst expression.
   *
-  * The pure-HOF formulation (transform ∘ aggregate ∘ least ∘ xxhash64,
-  * SURVEY.md §4.2) is semantically right but Spark's higher-order
+  * The pure-HOF formulation (transform ∘ aggregate ∘ least over a hash
+  * bank, SURVEY.md §4.2) is semantically right but Spark's higher-order
   * functions are CodegenFallback — b×r nested aggregates evaluate
   * interpreted per row, which a thread dump showed dominating the
   * feature stage. This expression does the whole signature in one tight
-  * loop: hash each element once, derive the b×r per-hash values by
-  * splitmix64 remixing, track minima, emit band keys.
-  *
-  * Cost: O(|set| × numHashes) long ops per row, no allocation beyond the
-  * output; codegen emits a single static call (same pattern as
+  * loop; codegen emits a single static call (same pattern as
   * JaroWinkler).
+  *
+  * Hash family — chosen to be ENGINE-PORTABLE, not engine-specific:
+  * each element is hashed once with md5; the first two 64-bit words of
+  * the digest (h1, h2, big-endian — exactly DuckDB's
+  * ('0x' || substr(md5(x), 1|17, 16))::UBIGINT) seed the classic
+  * double-hashing bank h_i(x) = h1 + i·h2 with wrap-around arithmetic
+  * (Kirsch & Mitzenmacher 2006 — public knowledge, standard for Bloom/
+  * MinHash banks). Minima are tracked with UNSIGNED comparison and band
+  * keys carry the r raw minima as unsigned decimals ("M|b|m0|m1"), so a
+  * SQL engine reproduces every band key bit-for-bit:
+  * (h1::HUGEINT + i*h2::HUGEINT) % 2^64 → min → string_agg. That turns
+  * every MinHash-derived driver query (blocks, full-universe pairs,
+  * scored pairs, dedup) from rows-only checks into exact DuckDB
+  * oracles. One md5 (~0.3 µs) replaces 32 splitmix64 remixes per
+  * element — same cost class; the affine bank is 1 add per hash.
+  *
+  * Cost: O(|set| × numHashes) long ops + one md5 per element; no
+  * allocation beyond the digest buffer and the output strings.
   */
 object MinHashBands {
 
-  private def mix64(x: Long): Long = {
-    var z = x + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
   /** Static entry point called from generated code. */
@@ -36,36 +48,44 @@ object MinHashBands {
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val nh = bands * rowsPerBand
     val mins = new Array[Long](nh)
-    java.util.Arrays.fill(mins, Long.MaxValue)
+    java.util.Arrays.fill(mins, -1L) // unsigned max
+    val md = md5Local.get()
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      // one strong base hash per element; per-hash-function values are
-      // independent splitmix64 remixes of it
-      val base = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
-      val base64 = mix64(base.toLong ^ (s.numBytes.toLong << 32))
+      md.reset()
+      md.update(s.getBytes)
+      val d = md.digest()
+      var h1 = 0L
+      var h2 = 0L
+      var k = 0
+      while (k < 8) {
+        h1 = (h1 << 8) | (d(k) & 0xFFL)
+        h2 = (h2 << 8) | (d(k + 8) & 0xFFL)
+        k += 1
+      }
+      // h_i = h1 + i*h2 (wrapping), iterated additively
+      var v = h1
       var h = 0
       while (h < nh) {
-        val v = mix64(base64 ^ (h.toLong * 0xC2B2AE3D27D4EB4FL))
-        if (v < mins(h)) mins(h) = v
+        if (java.lang.Long.compareUnsigned(v, mins(h)) < 0) mins(h) = v
+        v += h2
         h += 1
       }
       i += 1
     }
     val out = new Array[Any](bands)
-    val sb = new java.lang.StringBuilder(40)
+    val sb = new java.lang.StringBuilder(64)
     var b = 0
     while (b < bands) {
-      // band key = band index + combined hash of its r minima
-      var acc = 0x9E3779B97F4A7C15L ^ b.toLong
+      sb.setLength(0)
+      sb.append("M|").append(b)
       var r = 0
       while (r < rowsPerBand) {
-        acc = mix64(acc ^ mins(b * rowsPerBand + r))
+        sb.append('|')
+          .append(java.lang.Long.toUnsignedString(mins(b * rowsPerBand + r)))
         r += 1
       }
-      sb.setLength(0)
-      sb.append("M|").append(b).append('|').append(java.lang.Long.toHexString(acc))
       out(b) = UTF8String.fromString(sb.toString)
       b += 1
     }

@@ -73,31 +73,15 @@ object Features {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** B4 (reference formulation): MinHash signature over a value set via
-    * pure HOFs — h_i(x) = xxhash64(x, i); signature_i = min over set.
-    * Kept as the readable spec of the semantics and for tests; the
-    * pipeline uses graft.functions.MinHashBands (a native codegen
-    * expression computing the same banding in one pass) because Spark
-    * HOFs evaluate interpreted (CodegenFallback).
+  /** B4: MinHash-LSH banding is graft.functions.MinHashBands — a native
+    * codegen expression (Spark HOFs evaluate interpreted). Its hash
+    * family is engine-portable (md5-seeded double hashing), so the
+    * executable cross-engine spec of the semantics is the DuckDB oracle
+    * SQL in SparkEntry (er_blocks_minhash), which reproduces every band
+    * key bit-for-bit; a former pure-HOF xxhash64 formulation was
+    * retired with it (engine-specific, and never exercised outside
+    * docs).
     */
-  def minhashSignature(valueSet: Column, numHashes: Int = NumHashes): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => aggregate(valueSet, lit(Long.MaxValue),
-        (acc, x) => least(acc, xxhash64(x, i))))
-
-  /** B4: LSH band keys ("M|band|h1|h2|h3") from a MinHash signature.
-    * Empty value sets get no bands (they'd otherwise all collide into one
-    * monster block).
-    */
-  def minhashBands(sig: Column, valueSet: Column,
-      bands: Int = NumBands, rowsPerBand: Int = RowsPerBand): Column =
-    when(size(valueSet) > 0,
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("|",
-          (lit("M") +: (b.cast("string")) +:
-            (0 until rowsPerBand).map(r =>
-              element_at(sig, b * rowsPerBand + r + 1).cast("string"))): _*))
-    ).otherwise(array().cast("array<string>"))
 
   /** Engine-portable 64-bit string hash: the first 16 hex chars of md5,
     * assembled from two 32-bit halves with bit-ops only (long ARITHMETIC
