@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry.queries entry at
@@ -7,11 +9,20 @@ import org.apache.spark.sql.SparkSession
   * {"metric","value","unit","queries","sf"}.
   *
   * Queries run in sorted name order (stable attribution); shared heavy
-  * intermediates are computed once via Stages and charged to the first
-  * query that needs them. Scaling-efficiency evidence (N vs 4N cores)
-  * comes from graft.BenchScale, reported in BENCH.md.
+  * intermediates are computed once via Stages and charged to the
+  * REPORTED warmup fields, not hidden. Scaling-efficiency evidence
+  * (N vs 4N cores) comes from graft.BenchScale, reported in BENCH.md.
+  *
+  * Kill-safety (round-3 VERDICT "What's wrong" #2: the driver's bench
+  * JVM was SIGTERM'd one query from the end and — because the JSON line
+  * only printed after the last query — the round's entire perf record
+  * was lost): `target/bench_last.json` is rewritten after EVERY query,
+  * and a JVM shutdown hook prints the cumulative line if the normal
+  * path didn't get to — a kill at ANY point now leaves both a parseable
+  * stdout line and a parseable file, marked "partial":true.
   */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,10 +38,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ---- incremental, kill-safe result record -------------------------
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    @volatile var warmupSec = 0.0
+    @volatile var stagesWarmupSec = 0.0
+    val emitted = new AtomicBoolean(false)
+
+    def line(partial: Boolean): String = {
+      import scala.jdk.CollectionConverters._
+      val rs = results.asScala.toSeq
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = rs.map(_._2).filter(_ >= 0).sum
+      val failed = rs.count(_._2 < 0)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"warmup_sec":$warmupSec,"stages_warmup_sec":$stagesWarmupSec,"partial":$partial}"""
+    }
+    def writeRecord(partial: Boolean): Unit = {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("/root/repo/target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/target/bench_last.json"),
+        line(partial) + "\n")
+    }
+    // If the driver kills this JVM mid-run (round-3: SIGTERM at its
+    // budget), still emit the partial record. The hook touches no Spark
+    // state — string formatting + one small file write only.
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (emitted.compareAndSet(false, true)) {
+        println(line(partial = true))
+        writeRecord(partial = true)
+      }))
+
     // Pre-warm the durable pipeline checkpoints (round-1 VERDICT: the
     // alphabetically-first pipeline-consuming query otherwise carries the
-    // whole 300s+ pipeline build and can trip per-query timeouts). The
-    // cost is REPORTED, not hidden: warmup_sec in the JSON line.
+    // whole pipeline build and can trip per-query timeouts). The cost is
+    // REPORTED, not hidden: warmup_sec in the JSON line.
     val tWarm0 = System.nanoTime()
     try {
       val tier = Tiers.tierFor(sfDir)
@@ -40,21 +83,23 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pipeline warmup FAILED: ${e.getMessage}")
     }
-    val warmupSec = (System.nanoTime() - tWarm0) / 1e9
+    warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // Pre-warm the Stages session cache the same way (round-2 VERDICT
-    // "What's wrong" #3: the alphabetically-first Stages consumer —
-    // er_bcubed_sql at 106 s — was really paying the records→universe→
-    // scored→cc chain build; per-query numbers should mean per-query
-    // work). Cost reported as stages_warmup_sec, not hidden.
+    // "What's wrong" #3: per-query numbers should mean per-query work).
+    // docShingles joined the warm set in round 4 — the dedup family now
+    // shares one shingling pass. Cost reported as stages_warmup_sec.
     val tWarm1 = System.nanoTime()
     try {
       Stages.ccFull(spark, sfDir)
       Stages.fullScored(spark, sfDir)
+      Stages.docShingles(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stages warmup FAILED: ${e.getMessage}")
     }
-    val stagesWarmupSec = (System.nanoTime() - tWarm1) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    stagesWarmupSec = (System.nanoTime() - tWarm1) / 1e9
+    writeRecord(partial = true)
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // A crashing query must be VISIBLE, not a bogus fast timing: log to
       // stderr and report a -1 sentinel for its time.
@@ -65,20 +110,14 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      results.add(name -> (if (ok) sec else -1.0))
+      writeRecord(partial = true)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"warmup_sec":$warmupSec,"stages_warmup_sec":$stagesWarmupSec}"""
-    println(line)
-    // Belt-and-braces for the driver's parser: also drop the JSON line in
-    // a known file.
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/root/repo/target"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), line + "\n")
+
+    if (emitted.compareAndSet(false, true)) {
+      println(line(partial = false))
+      writeRecord(partial = false)
+    }
     spark.stop()
   }
 }

@@ -95,4 +95,22 @@ object Stages {
         Scoring.matchEdges(sqlUniverseScored(s, dir)),
         recs.select(org.apache.spark.sql.functions.col("conv_id")))
     }
+
+  /** Cached document shingle sets + MinHash bands, shared by the dedup
+    * family (round-3 VERDICT "What's wrong" #5: dedup_ngram and
+    * dedup_minhash each re-ran the interpreted shingling HOF — and the
+    * md5 MinHash bank — over the whole documents table, re-paying
+    * 15–25 s per query at bench tier). Shingling is computed once here;
+    * consumers filter/project what they need.
+    */
+  def docShingles(s: SparkSession, dir: String): DataFrame =
+    cached("doc_shingles", dir) {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("shingles", array_distinct(
+          Features.shingles(graft.text.TextOps.docTokens(col("text")), 3)))
+        .withColumn("bands", graft.functions.MinHashBands.minhashBands(
+          col("shingles"), Features.NumBands, Features.RowsPerBand))
+        .select(col("doc_id"), col("shingles"), col("bands"))
+    }
 }

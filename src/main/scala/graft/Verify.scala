@@ -2,8 +2,49 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Kill-safety (round-3 VERDICT "What's wrong" #3: the driver's verify
+  * phase produced an EMPTY correctness record when its budget ran out):
+  *  - oracle_sql.json is written FIRST — it is pure metadata, and without
+  *    it a partial dump is indistinguishable from zero coverage;
+  *  - queries are dumped in an explicit priority order: trivial ones
+  *    first (fast green rows), then the four HUB dumps that the layered
+  *    oracles read (er_cc_full / er_pairs_sql_universe /
+  *    er_candidate_pairs / er_cc_pipeline), then everything else roughly
+  *    cheapest-first — a mid-run kill still yields mostly-checkable rows.
+  */
 object Verify {
+
+  /** Dump priority (ascending). Names missing from this list (future
+    * queries) run last, alphabetically.
+    */
+  private val order: Map[String, Int] = Seq(
+    // trivial relational + doc queries: instant rows
+    "q1_agg", "q_top_global", "q_setop_except", "q_join_nation_revenue",
+    "q_top_orders_per_cust", "q_sessionize", "dedup_exact", "doc_stats",
+    "mm_features",
+    // records warm-up + the hub dumps the layered oracles read, in
+    // oracle-dependency order: universe → match_edges → cc_full;
+    // bands_minhash → candidate_pairs → scored_pairs → cc_pipeline
+    "er_collapse", "er_pairs_sql_universe", "er_match_edges",
+    "er_cc_full", "er_bands_minhash", "er_candidate_pairs",
+    "er_scored_pairs", "er_cc_pipeline",
+    // cheap consumers of the session caches
+    "er_strong_keys", "er_tokens", "er_shingles", "er_split",
+    "er_blocks_strong", "er_blocks_token", "er_blocks_time",
+    "er_blocks_minhash", "er_dropped_blocks", "er_pairs_strong",
+    "er_pairs_universe3",
+    "er_pair_features", "er_impute_mean", "er_cluster_sizes",
+    "er_f1_sql", "er_muc", "er_closest_cluster", "er_bcubed_sql",
+    "er_entities", "er_blocking_recall", "er_labeled_sample",
+    "er_f1_pipeline", "er_bcubed", "er_cc_strong", "er_incremental",
+    // heavy tail
+    "er_invariant", "er_f1_swoosh", "dedup_minhash", "dedup_ngram",
+    "dedup_simhash", "dedup_embedding", "ann_brute_topk", "ann_lsh_topk",
+    "er_trained_f1"
+  ).zipWithIndex.toMap
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,16 +58,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // repartition(1), NOT coalesce(1): coalesce folds the whole
-      // upstream computation into a single task; repartition keeps the
-      // compute at full parallelism and only the write single-file.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,9 +70,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSqlFor(sfDir)
+    val json = SparkEntry.oracleSqlFor(sfDir, outDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (order.getOrElse(name, Int.MaxValue), name) }
+    ordered.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      // repartition(1), NOT coalesce(1): coalesce folds the whole
+      // upstream computation into a single task; repartition keeps the
+      // compute at full parallelism and only the write single-file.
+      try {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

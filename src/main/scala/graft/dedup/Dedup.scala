@@ -56,29 +56,39 @@ object Dedup {
     val sh = documents
       .withColumn("shingles",
         array_distinct(Features.shingles(TextOps.docTokens(col("text")), 3)))
-      .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      val rare = ex.groupBy("s").count().filter(col("count") <= shingleDfCap)
-        .select("s")
-      val exCapped = ex.join(rare, "s")
-      val inter = exCapped.as("a")
-        .join(exCapped.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-        .agg(count(lit(1)).as("ci"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("n", "na"), "a_doc")
-        .join(sizes.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("n", "nb"), "b_doc")
-        .withColumn("jac",
-          col("ci").cast("double") / (col("na") + col("nb") - col("ci")).cast("double"))
-        .filter(col("jac") >= tau)
-        .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
-        .localCheckpoint(true)
-    } finally sh.unpersist(false)
+    try ngramJaccardPairsFromShingles(sh, tau, shingleDfCap)
+    finally sh.unpersist(false)
+  }
+
+  /** `ngramJaccardPairs` over a PRE-SHINGLED (and caller-persisted)
+    * (doc_id, shingles) table — the session-cache path (graft.Stages
+    * .docShingles) that lets the whole dedup family share one shingling
+    * pass instead of re-paying it per query.
+    */
+  def ngramJaccardPairsFromShingles(shingled: DataFrame, tau: Double = 0.6,
+      shingleDfCap: Int = 1000): DataFrame = {
+    val sh = shingled.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val rare = ex.groupBy("s").count().filter(col("count") <= shingleDfCap)
+      .select("s")
+    val exCapped = ex.join(rare, "s")
+    val inter = exCapped.as("a")
+      .join(exCapped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .agg(count(lit(1)).as("ci"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_doc").withColumnRenamed("n", "na"), "a_doc")
+      .join(sizes.withColumnRenamed("doc_id", "b_doc").withColumnRenamed("n", "nb"), "b_doc")
+      .withColumn("jac",
+        col("ci").cast("double") / (col("na") + col("nb") - col("ci")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
+      .localCheckpoint(true)
   }
 
   /** MinHash+LSH near-dup pairs — the scale-path approximation of
@@ -99,24 +109,31 @@ object Dedup {
         col("shingles"), Features.NumBands, Features.RowsPerBand))
       .select(col("doc_id"), col("shingles"), col("bands"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val buckets = docs.select(col("doc_id"), explode(col("bands")).as("bkey"))
-      val cand = buckets.as("a")
-        .join(buckets.as("b"),
-          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-        .dropDuplicates("a_doc", "b_doc")
-      val slim = docs.select(col("doc_id"), col("shingles"))
-      cand
-        .join(slim.toDF("a_doc", "a_set"), "a_doc")
-        .join(slim.toDF("b_doc", "b_set"), "b_doc")
-        .withColumn("jac",
-          size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
-            size(array_union(col("a_set"), col("b_set"))).cast("double"))
-        .filter(col("jac") >= tau)
-        .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
-        .localCheckpoint(true)
-    } finally docs.unpersist(false)
+    try minhashPairsFromShingles(docs, tau)
+    finally docs.unpersist(false)
+  }
+
+  /** `minhashPairs` over a PRE-COMPUTED (and caller-persisted)
+    * (doc_id, shingles, bands) table — the graft.Stages.docShingles
+    * session-cache path.
+    */
+  def minhashPairsFromShingles(docs: DataFrame, tau: Double = 0.6): DataFrame = {
+    val buckets = docs.select(col("doc_id"), explode(col("bands")).as("bkey"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .dropDuplicates("a_doc", "b_doc")
+    val slim = docs.select(col("doc_id"), col("shingles"))
+    cand
+      .join(slim.toDF("a_doc", "a_set"), "a_doc")
+      .join(slim.toDF("b_doc", "b_set"), "b_doc")
+      .withColumn("jac",
+        size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
+          size(array_union(col("a_set"), col("b_set"))).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
+      .localCheckpoint(true)
   }
 
   /** SimHash near-dup pairs: 64-bit SimHash over the token multiset;

@@ -39,7 +39,12 @@ object Swoosh {
       tokenDfCap: Int = Blocking.DefaultTokenDfCap,
       pairCfg: Pairs.PairConfig = Pairs.PairConfig(),
       changedOnly: Option[DataFrame] = None): DataFrame = {
-    val entities = Entities.fuse(records, labels)
+    // Eagerly materialize the fused catalog ONCE: four downstream plans
+    // consume it (the block chain, both hydration sides, and the CC node
+    // universe), and without the checkpoint each re-ran the whole
+    // records×labels fusion agg — the dominant cost of the round at
+    // bench tier (round-3 VERDICT: er_f1_swoosh 161 s, mostly re-fusion).
+    val entities = Entities.fuse(records, labels).localCheckpoint(true)
     // entity-level records: the fused value sets play the per-record role
     val erecs = entities.select(
       col("entity_id").as("conv_id"),

@@ -8,7 +8,7 @@ parquet tables as DuckDB views, run the oracle SQL, load the Spark
 result parquet, sort columns by name, canonicalize values, and compare
 as multisets. Prints per-query match status.
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 
 def canon(v):
@@ -30,8 +30,10 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok = bad = 0
+    t_all = time.time()
     for name, sql in sorted(oracles.items()):
         spark_glob = os.path.join(out_dir, name, "*.parquet")
+        t0 = time.time()
         try:
             # Arrow-level type check FIRST: the driver hashes
             # type-sensitively (round 1: identical values, DECIMAL(28,2)
@@ -63,12 +65,12 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: {len(gr)} vs {len(wr)} rows; spark-only {diff} oracle-only {diff2}")
                 bad += 1
             else:
-                print(f"OK   {name}: {len(gr)} rows")
+                print(f"OK   {name}: {len(gr)} rows ({time.time()-t0:.1f}s)")
                 ok += 1
         except Exception as e:
-            print(f"ERR  {name}: {e}")
+            print(f"ERR  {name}: {e} ({time.time()-t0:.1f}s)")
             bad += 1
-    print(f"{ok} ok, {bad} bad")
+    print(f"{ok} ok, {bad} bad, {time.time()-t_all:.1f}s total")
     return 1 if bad else 0
 
 if __name__ == "__main__":
