@@ -99,7 +99,11 @@ object Bench {
     stagesWarmupSec = (System.nanoTime() - tWarm1) / 1e9
     writeRecord(partial = true)
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional positional args = run only these queries (local profiling;
+    // the driver passes none and gets the full suite)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.contains(name) }
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // A crashing query must be VISIBLE, not a bogus fast timing: log to
       // stderr and report a -1 sentinel for its time.
@@ -110,8 +114,16 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name ${sec}%.1f s")
       results.add(name -> (if (ok) sec else -1.0))
       writeRecord(partial = true)
+      // Release one-shot localCheckpoint blocks: Spark's ContextCleaner
+      // unpersists them only when their DataFrames are GC'd, and its own
+      // periodic GC defaults to 30 min — far longer than this run. Left
+      // alone they accumulate across 50+ queries and evict the shared
+      // Stages caches (measured: er_impute_mean 1.7 s isolated vs 28 s
+      // late in a full run, recomputing the evicted scored universe).
+      System.gc()
     }
 
     if (emitted.compareAndSet(false, true)) {

@@ -88,6 +88,9 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // let ContextCleaner release orphaned one-shot localCheckpoint
+      // blocks before they evict the shared Stages caches (see Bench)
+      System.gc()
     }
     spark.stop()
   }

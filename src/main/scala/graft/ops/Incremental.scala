@@ -66,7 +66,14 @@ object Incremental {
       .join(tokIdx.join(rare, "tok"), "tok").select("conv_id", "entity_id")
     val cand = candStrong.unionByName(candTok)
       .dropDuplicates("conv_id", "entity_id")
-    val scored = cand.join(newSlim, "conv_id").join(ent, "entity_id")
+    // slim hydration: scoring needs only the id arrays + strong keys —
+    // shipping token_union/token_set strings per candidate pair doubled
+    // the join bytes for nothing
+    val entScore = ent.select(col("entity_id"), col("e_token_ids"),
+      col("strong_keys_union"))
+    val newScore = newSlim.select(col("conv_id"), col("token_ids"),
+      col("strong_keys"))
+    val scored = cand.join(newScore, "conv_id").join(entScore, "entity_id")
       .withColumn("strong_hit",
         arrays_overlap(col("strong_keys"), col("strong_keys_union")))
       .withColumn("jac", Scoring.jaccard(col("token_ids"), col("e_token_ids")))
