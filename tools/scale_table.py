@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Aggregate target/scale_r4_rep*.jsonl (graft.BenchScale output) into
+the BENCH.md round-4 scaling table: per-kernel throughput by core count
+across repeats, plus N->4N efficiency computed WITHIN each repeat (same
+tenancy window) and the across-repeat median, mirroring the round-3
+protocol so the two rounds are directly comparable."""
+import json, glob, statistics, sys
+
+reps = []
+for path in sorted(glob.glob("target/scale_r4_rep*.jsonl")):
+    rows = {}
+    with open(path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln:
+                r = json.loads(ln)
+                rows[r["cores"]] = r
+    if rows:
+        reps.append((path, rows))
+
+if not reps:
+    sys.exit("no ladder files found")
+
+KERNELS = [("fast (default)", "pairs_per_sec"), ("reference", "ref_kernel_pairs_per_sec")]
+CORES = [4, 8, 16, 32]
+
+print(f"repeats: {len(reps)} ({', '.join(p for p, _ in reps)})\n")
+print("### Full-feature throughput (pairs/s)")
+print("| kernel | cores | " + " | ".join(f"rep{i+1} med / best" for i in range(len(reps))) + " | median-of-medians |")
+print("|---" * (3 + len(reps)) + "|")
+for kname, key in KERNELS:
+    for c in CORES:
+        cells, meds = [], []
+        for _, rows in reps:
+            r = rows.get(c)
+            if r is None:
+                cells.append("—")
+                continue
+            med, best = r[key + "_median"], r[key]
+            meds.append(med)
+            cells.append(f"{med:,.0f} / {best:,.0f}")
+        mom = statistics.median(meds) if meds else float("nan")
+        print(f"| {kname} | {c} | " + " | ".join(cells) + f" | {mom:,.0f} |")
+
+print("\n### N -> 4N efficiency (within-repeat)")
+print("| kernel | pair | " + " | ".join(f"rep{i+1} (med-based)" for i in range(len(reps))) + " | median | best-based median |")
+print("|---" * (4 + len(reps)) + "|")
+for kname, key in KERNELS:
+    for lo, hi in [(4, 16), (8, 32)]:
+        effs_med, effs_best, cells = [], [], []
+        for _, rows in reps:
+            if lo in rows and hi in rows:
+                em = (rows[hi][key + "_median"] / rows[lo][key + "_median"]) / 4
+                eb = (rows[hi][key] / rows[lo][key]) / 4
+                effs_med.append(em)
+                effs_best.append(eb)
+                cells.append(f"{em:.3f}")
+            else:
+                cells.append("—")
+        if effs_med:
+            print(f"| {kname} | {lo}->{hi} | " + " | ".join(cells) +
+                  f" | {statistics.median(effs_med):.3f} | {statistics.median(effs_best):.3f} |")
