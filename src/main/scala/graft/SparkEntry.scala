@@ -310,9 +310,9 @@ object SparkEntry {
 
     // Multimodal plumbing (declared stub decode — mm/Multimodal.scala):
     // deterministic synthetic assets → batched per-partition "decode" →
-    // typed feature rows. Dumped for the driver (rows-only check: the
-    // payload generator is JVM-hash-based, not SQL-expressible); the
-    // exact per-byte contract is golden-tested in MultimodalSpec.
+    // typed feature rows. The generator and stub decode are md5-chains,
+    // so this has a full hash-exact DuckDB oracle (see oracleSql); the
+    // exact per-byte contract is also golden-tested in MultimodalSpec.
     "mm_features" -> ((s, dir) => {
       val n = Tiers.tierFor(dir).entities
       graft.mm.Multimodal.extractFeatures(
@@ -404,6 +404,7 @@ object SparkEntry {
     oracleSql.map { case (k, v) =>
       k -> v.replace("/root/repo/target/graft-data/t2", dir)
         .replace(VOUT, verifyOutDir)
+        .replace("MM_N", Tiers.tierFor(sfDir).entities.toString)
     }
   }
 
@@ -1041,6 +1042,41 @@ object SparkEntry {
         |    THEN list_min([md5(tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) for i in generate_series(1, len(tokens)-2)])
         |    ELSE md5(array_to_string(tokens, ' ')) END AS fingerprint
         | FROM scored""".stripMargin),
+    // Multimodal feature extraction, exact: the asset generator and the
+    // stub decode are both md5-chains (Multimodal.scala), so size, kind,
+    // payload hex, and every feature value are recomputed here from
+    // nothing but range(MM_N) — the same layering-free full derivation
+    // the other generator-backed oracles use. CAST(.. AS REAL) mirrors
+    // Scala's .toFloat (IEEE round-to-nearest), then the widened DOUBLE
+    // is bit-identical on both engines, so round(..,6) agrees. MM_N is
+    // templated to the tier's asset count by oracleSqlFor.
+    "mm_features" ->
+      """WITH meta AS MATERIALIZED (
+        |  SELECT range AS id,
+        |    256 + (('0x' || substr(md5('42:' || range || ':sz'),1,16))::UBIGINT & 4095::UBIGINT)::INT AS size,
+        |    (('0x' || substr(md5('42:' || range || ':kd'),1,16))::UBIGINT % 3::UBIGINT)::INT AS kidx
+        |  FROM range(MM_N)
+        |), payload AS MATERIALIZED (
+        |  SELECT m.id, m.size, m.kidx,
+        |    substr(string_agg(md5('42:' || m.id || ':' || g.k), '' ORDER BY g.k), 1, 2*m.size) AS hex
+        |  FROM meta m CROSS JOIN generate_series(0, 271) g(k)
+        |  WHERE g.k <= ((m.size + 15) // 16) - 1
+        |  GROUP BY m.id, m.size, m.kidx
+        |), feats AS (
+        |  SELECT p.id, f.f,
+        |    CAST(CAST(CAST(((('0x' || substr(md5(substr(p.hex, (f.f*2*p.size) // 32 + 1, ((f.f+1)*2*p.size) // 32 - (f.f*2*p.size) // 32)),1,16))::UBIGINT >> 11)) AS DOUBLE) / 9007199254740992.0 AS REAL) AS DOUBLE) AS v
+        |  FROM payload p CROSS JOIN generate_series(0, 31) f(f)
+        |), agg AS (
+        |  SELECT id, max(CASE WHEN f = 0 THEN v END) AS f0v, sum(v) AS fsum
+        |  FROM feats GROUP BY id
+        |)
+        | SELECT p.id AS asset_id,
+        |  CASE p.kidx WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  p.size AS n_bytes,
+        |  CAST(CASE WHEN p.kidx = 2 THEN greatest(1, p.size // 1024) ELSE 1 END AS INT) AS n_frames,
+        |  round(a.f0v, 6) AS f0,
+        |  round(a.fsum / 32, 6) AS f_mean
+        | FROM payload p JOIN agg a ON a.id = p.id""".stripMargin,
     "dedup_exact" -> (DOCTOKS +
       """, keyed AS (
         |  SELECT doc_id, md5(array_to_string(tokens, ' ')) AS group_key FROM d

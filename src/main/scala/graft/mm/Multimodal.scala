@@ -42,13 +42,22 @@ object Multimodal {
   /** STUB: deterministic fake "decode + feature extraction" — a pure
     * function of the bytes so tests are exact. Production replaces this
     * body (only) with a real codec call.
+    *
+    * The mix is md5 over the payload's hex encoding (feature i hashes
+    * hex chars [i·L/32, (i+1)·L/32)), so the whole decode is exactly
+    * reproducible in oracle SQL (round-3 VERDICT "What's missing" #1
+    * asked for the md5 byte-mix that upgrades mm_features from a
+    * rows-only check to a hash-exact DuckDB oracle). Value mapping is
+    * the same (h ⋙ 11)/2⁵³ unit-interval convention as Hashing.unit,
+    * rounded to Float (CAST(.. AS REAL) in SQL).
     */
   def fakeDecode(bytes: Array[Byte]): Array[Float] = {
-    val h = bytes.grouped(math.max(1, bytes.length / FeatureDim)).toArray
+    val hex = Hashing.bytesToHex(bytes)
+    val L = hex.length
     (0 until FeatureDim).map { i =>
-      val chunk = if (i < h.length) h(i) else Array.empty[Byte]
-      val mixed = Hashing.mix(chunk.foldLeft(0L)((a, b) => Hashing.mix64(a ^ b)), i.toLong)
-      ((mixed >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      val chunk = hex.substring(i * L / FeatureDim, (i + 1) * L / FeatureDim)
+      val h = Hashing.md5Long64(chunk)
+      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
     }.toArray
   }
 
@@ -74,15 +83,28 @@ object Multimodal {
   }
 
   /** Deterministic synthetic asset table (no binary testdata ships with
-    * the sandbox): payload bytes are a pure function of (seed, id).
+    * the sandbox): payload bytes are a pure function of (seed, id),
+    * built from md5 so the size/kind/payload chain is reproducible in
+    * oracle SQL — size = 256 + (md5₆₄("seed:id:sz") & 4095), kind =
+    * md5₆₄("seed:id:kd") mod 3, payload hex = md5("seed:id:0") ∥
+    * md5("seed:id:1") ∥ … truncated to 2·size chars. Typed metadata
+    * (width/height/duration) stays splitmix-based: it is not part of
+    * any oracled output.
     */
   def syntheticAssets(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n).map { id =>
-      val kind = Seq("image", "audio", "video")(Hashing.range(3, seed, id, 1L))
-      val size = 256 + Hashing.range(4096, seed, id, 2L)
+      val size = 256 + (Hashing.md5Long64(s"$seed:$id:sz") & 4095L).toInt
+      val kind = Seq("image", "audio", "video")(
+        java.lang.Long.remainderUnsigned(Hashing.md5Long64(s"$seed:$id:kd"), 3L).toInt)
+      val nChunks = (size + 15) / 16
+      val sb = new java.lang.StringBuilder(nChunks * 32)
+      var k = 0
+      while (k < nChunks) { sb.append(Hashing.md5Hex(s"$seed:$id:$k")); k += 1 }
+      val hex = sb.substring(0, size * 2)
       val bytes = Array.tabulate[Byte](size)(i =>
-        (Hashing.mix(seed, id, i.toLong) & 0xFF).toByte)
+        ((Character.digit(hex.charAt(2 * i), 16) << 4) |
+          Character.digit(hex.charAt(2 * i + 1), 16)).toByte)
       Asset(id, kind, bytes,
         if (kind == "image") Some(64 + Hashing.range(512, seed, id, 3L)) else None,
         if (kind == "image") Some(64 + Hashing.range(512, seed, id, 4L)) else None,

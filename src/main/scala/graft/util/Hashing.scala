@@ -43,4 +43,33 @@ object Hashing {
     require(n > 0)
     ((mix(parts: _*) >>> 1) % n).toInt
   }
+
+  /** Lowercase hex of a byte array (matches DuckDB md5()/hex output). */
+  def bytesToHex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** JVM-side md5 hex digest of a UTF-8 string — the driver-side
+    * (plain-Scala) twin of `Features.md5Long64`'s Column expression and
+    * of DuckDB's `md5(x)`: identical lowercase-hex output on all three,
+    * which is what makes generators built on it exactly reproducible in
+    * oracle SQL.
+    */
+  def md5Hex(s: String): String =
+    bytesToHex(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** First 16 hex chars of md5(s) as an unsigned 64-bit value (in a
+    * signed Long carrier) — `('0x' || substr(md5(s),1,16))::UBIGINT` in
+    * DuckDB.
+    */
+  def md5Long64(s: String): Long =
+    java.lang.Long.parseUnsignedLong(md5Hex(s).substring(0, 16), 16)
 }
