@@ -53,12 +53,28 @@ object Swoosh {
       col("strong_keys_union").as("strong_keys"))
     val blocks = Blocking.strongBlocks(erecs)
       .unionByName(Blocking.tokenBlocks(erecs, tokenDfCap))
-    val allPairs = Pairs.candidatePairs(blocks, pairCfg)
     val pairs = changedOnly match {
-      case None => allPairs
+      case None => Pairs.candidatePairs(blocks, pairCfg)
       case Some(chg) =>
         val ids = chg.select(col("entity_id"))
-        allPairs
+        // A block with no changed member can only yield unchanged ×
+        // unchanged pairs — every one already scored no-match in the
+        // previous round — so restrict the block table to blocks that
+        // CONTAIN a changed entity BEFORE the quadratic within-block
+        // enumeration (round-3 VERDICT "Next round" #7: don't re-pay
+        // the whole catalog's pair enumeration every refine round). The
+        // left-semi on bkey keeps every member row of a kept block, so
+        // kept blocks enumerate, cap, and salt exactly as before: the
+        // surviving pair set is identical (SwooshSpec's delta-vs-full
+        // equivalence test), the enumeration cost is proportional to
+        // the merge-touched blocks only. Both semi-join build sides are
+        // tiny (changed ids; their block keys) → broadcast.
+        val chgKeys = blocks
+          .join(broadcast(ids.withColumnRenamed("entity_id", "conv_id")),
+            Seq("conv_id"), "left_semi")
+          .select(col("bkey")).distinct()
+        val restricted = blocks.join(broadcast(chgKeys), Seq("bkey"), "left_semi")
+        Pairs.candidatePairs(restricted, pairCfg)
           .join(ids.withColumnRenamed("entity_id", "a_id")
             .withColumn("a_chg", lit(true)), Seq("a_id"), "left")
           .join(ids.withColumnRenamed("entity_id", "b_id")
