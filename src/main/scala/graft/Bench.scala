@@ -45,6 +45,21 @@ object Bench {
     @volatile var stagesWarmupSec = 0.0
     val emitted = new AtomicBoolean(false)
 
+    // Host-noise sentinel: cumulative stop-the-world GC pause time. On
+    // this shared-tenancy host, vCPU-starvation bursts freeze the whole
+    // guest and show up as absurd YOUNG-gen pauses (measured same-day on
+    // identical code: 63.3 s / 43.7 s / 18.8 s single young pauses, heap
+    // <70% full, with the /proc/stat steal delta matching the pause
+    // windows). A healthy full run carries ~15-20 s here (the explicit
+    // per-query System.gc() calls); a noise-hit run carries minutes —
+    // recording it in the contract line lets any slow driver artifact be
+    // attributed (code vs tenancy) after the fact.
+    def gcPauseSec: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum / 1e3
+    }
+
     def line(partial: Boolean): String = {
       import scala.jdk.CollectionConverters._
       val rs = results.asScala.toSeq
@@ -52,7 +67,7 @@ object Bench {
         .mkString("{", ",", "}")
       val total = rs.map(_._2).filter(_ >= 0).sum
       val failed = rs.count(_._2 < 0)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"warmup_sec":$warmupSec,"stages_warmup_sec":$stagesWarmupSec,"partial":$partial}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"warmup_sec":$warmupSec,"stages_warmup_sec":$stagesWarmupSec,"gc_pause_sec":$gcPauseSec,"partial":$partial}"""
     }
     def writeRecord(partial: Boolean): Unit = {
       java.nio.file.Files.createDirectories(
@@ -90,9 +105,41 @@ object Bench {
     // shares one shingling pass. Cost reported as stages_warmup_sec.
     val tWarm1 = System.nanoTime()
     try {
-      Stages.ccFull(spark, sfDir)
-      Stages.fullScored(spark, sfDir)
-      Stages.docShingles(spark, sfDir)
+      // per-stage stderr timings: the warmup is the largest single block
+      // in the driver's bench budget, so its breakdown should be
+      // diagnosable from the run log (each call builds only its own
+      // increment — the chain prefix is already cached by the previous
+      // line)
+      def timed(label: String)(f: => Unit): Unit = {
+        val t = System.nanoTime()
+        f
+        System.err.println(
+          f"[bench] stages-warmup $label ${(System.nanoTime() - t) / 1e9}%.1f s")
+        // same ContextCleaner story as between queries: cc_full alone
+        // leaves one orphaned one-shot localCheckpoint per CC iteration,
+        // and unfreed they crowd the storage pool the NEXT stage's build
+        // wants (measured: full_scored 103.5 s with them resident vs
+        // ~17 s for the 96%-overlapping sql_scored built before cc_full)
+        System.gc()
+      }
+      timed("records")(Stages.records(spark, sfDir))
+      timed("blocks")(Stages.tokenBlocks(spark, sfDir))
+      timed("sql_universe")(System.err.println(
+        s"[bench] sql_universe rows=${Stages.sqlUniversePairs(spark, sfDir).count()}"))
+      timed("sql_scored")(Stages.sqlUniverseScored(spark, sfDir))
+      timed("cc_full")(Stages.ccFull(spark, sfDir))
+      timed("full_pairs")(System.err.println(
+        s"[bench] full_pairs rows=${Stages.fullPairs(spark, sfDir).count()}"))
+      timed("full_scored")(Stages.fullScored(spark, sfDir))
+      timed("doc_shingles")(Stages.docShingles(spark, sfDir))
+      if (sys.env.contains("GRAFT_EXPLAIN_WARMUP")) {
+        System.err.println("=== sql_scored plan ===")
+        System.err.println(Stages.sqlUniverseScored(spark, sfDir)
+          .queryExecution.executedPlan.toString.take(8000))
+        System.err.println("=== full_scored plan ===")
+        System.err.println(Stages.fullScored(spark, sfDir)
+          .queryExecution.executedPlan.toString.take(8000))
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stages warmup FAILED: ${e.getMessage}")
     }
@@ -105,6 +152,7 @@ object Bench {
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
+      val gc0 = gcPauseSec
       // A crashing query must be VISIBLE, not a bogus fast timing: log to
       // stderr and report a -1 sentinel for its time.
       val ok =
@@ -114,7 +162,7 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name ${sec}%.1f s")
+      System.err.println(f"[bench] $name ${sec}%.1f s (gc ${gcPauseSec - gc0}%.1f s)")
       results.add(name -> (if (ok) sec else -1.0))
       writeRecord(partial = true)
       // Release one-shot localCheckpoint blocks: Spark's ContextCleaner
