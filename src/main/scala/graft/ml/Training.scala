@@ -36,6 +36,21 @@ object Training {
       .setInputCols(Array("f_strong", "f_jaccard", "f_lev", "f_jw"))
       .setOutputCol("features")
       .transform(data)
+      // The balanced sample is small by construction (Sampling caps it),
+      // but it inherits the upstream scored-universe partitioning — so
+      // every LBFGS iteration becomes a 32-task treeAggregate job whose
+      // cost is pure scheduling overhead, ~50 jobs per fit. One partition
+      // makes each iteration a single small task; gradient sums are
+      // order-insensitive at fp-rounding level and the spec gate
+      // (trained F1 >= fixed-weight F1) is unaffected. repartition, NOT
+      // coalesce: coalesce(1) would propagate upstream and single-thread
+      // the whole sample-derivation stage (same trap Verify's writes
+      // avoid); the shuffle barrier keeps upstream at full parallelism.
+      // Isolated A/B at sf0.1 in the same tenancy window: 339 s with
+      // this vs 351 s without — i.e. no regression (both numbers are
+      // ~90% host-starvation stall; healthy-window runs of the query are
+      // 25-59 s).
+      .repartition(1)
     val model = new LogisticRegression()
       .setMaxIter(maxIter)
       .setRegParam(regParam)   // small L2: the planted sample is separable
