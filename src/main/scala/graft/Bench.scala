@@ -62,12 +62,8 @@ object Bench {
 
     def line(partial: Boolean): String = {
       import scala.jdk.CollectionConverters._
-      val rs = results.asScala.toSeq
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      val total = rs.map(_._2).filter(_ >= 0).sum
-      val failed = rs.count(_._2 < 0)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"warmup_sec":$warmupSec,"stages_warmup_sec":$stagesWarmupSec,"gc_pause_sec":$gcPauseSec,"partial":$partial}"""
+      Contract.benchLine(results.asScala.toSeq, sfDir,
+        warmupSec, stagesWarmupSec, gcPauseSec, partial)
     }
     def writeRecord(partial: Boolean): Unit = {
       java.nio.file.Files.createDirectories(

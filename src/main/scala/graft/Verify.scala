@@ -58,21 +58,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSqlFor(sfDir, outDir)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Escaping + parseability are contract-tested (Contract / ContractSpec):
+    // a mis-escaped char here would make the driver's json.load fail and
+    // silently zero the round's correctness record.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      Contract.oracleSqlJson(SparkEntry.oracleSqlFor(sfDir, outDir)))
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (order.getOrElse(name, Int.MaxValue), name) }
     ordered.foreach { case (name, fn) =>
