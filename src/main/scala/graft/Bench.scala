@@ -36,6 +36,8 @@ object Bench {
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
+      // starvation-proof the in-process executor (see LocalHardening)
+      .config(graft.util.LocalHardening.resilience)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -146,7 +148,17 @@ object Bench {
     // the driver passes none and gets the full suite)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
-    selected.foreach { case (name, fn) =>
+    // A dead context (e.g. executor self-exit after a starvation burst,
+    // see LocalHardening) fails every remaining query in milliseconds —
+    // recording those as per-query failures would misattribute one JVM
+    // death as dozens of query bugs. Stop at the first dead check; the
+    // per-query writeRecord calls already left a "partial":true record.
+    selected.iterator.takeWhile { case (name, _) =>
+      val alive = !spark.sparkContext.isStopped
+      if (!alive)
+        System.err.println(s"[bench] stopping at $name: SparkContext is dead")
+      alive
+    }.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val gc0 = gcPauseSec
       // A crashing query must be VISIBLE, not a bogus fast timing: log to
@@ -171,8 +183,10 @@ object Bench {
     }
 
     if (emitted.compareAndSet(false, true)) {
-      println(line(partial = false))
-      writeRecord(partial = false)
+      // a mid-suite context death truncated the suite: say so in the record
+      val truncated = spark.sparkContext.isStopped
+      println(line(partial = truncated))
+      writeRecord(partial = truncated)
     }
     spark.stop()
   }

@@ -60,6 +60,8 @@ object BenchScale {
       // the honest local-mode equivalent
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
+      // starvation-proof the in-process executor (see LocalHardening)
+      .config(graft.util.LocalHardening.resilience)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -28,6 +28,8 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // starvation-proof the in-process executor (see LocalHardening)
+      .config(graft.util.LocalHardening.resilience)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -55,6 +55,8 @@ object Verify {
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
+      // starvation-proof the in-process executor (see LocalHardening)
+      .config(graft.util.LocalHardening.resilience)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -65,7 +67,17 @@ object Verify {
       Contract.oracleSqlJson(SparkEntry.oracleSqlFor(sfDir, outDir)))
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (order.getOrElse(name, Int.MaxValue), name) }
-    ordered.foreach { case (name, fn) =>
+    // Stop at the first dead-context check (executor self-exit after a
+    // starvation burst, see LocalHardening): every remaining dump would
+    // fail in milliseconds, and log-spamming 40 failures misattributes
+    // one JVM death as per-query bugs. Everything already dumped stays
+    // valid — the driver compares per-query dirs.
+    ordered.iterator.takeWhile { case (name, _) =>
+      val alive = !spark.sparkContext.isStopped
+      if (!alive)
+        System.err.println(s"[verify] stopping at $name: SparkContext is dead")
+      alive
+    }.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // repartition(1), NOT coalesce(1): coalesce folds the whole
       // upstream computation into a single task; repartition keeps the

@@ -1,0 +1,35 @@
+package graft.util
+
+/** Timeout hardening for single-JVM (`local[n]`) sessions on a
+  * shared-tenancy host.
+  *
+  * In local mode the driver and its one executor share a JVM, so
+  * executor heartbeats carry zero crash-detection value — but they can
+  * still KILL the process: a host vCPU-starvation burst longer than
+  * `spark.network.timeout` (120 s default; this host freezes whole-guest
+  * for >129 s under tenancy bursts, see BENCH.md "host noise") makes
+  * HeartbeatReceiver deregister the in-process executor, every later
+  * heartbeat is rejected ("Inbox: Ignoring error" every 10 s), and after
+  * `spark.executor.heartbeat.maxFailures` (60) consecutive rejections
+  * the executor calls System.exit(56) (ExecutorExitCode
+  * .HEARTBEAT_FAILURE) — stopping the SparkContext mid-suite ~10 min
+  * after the burst. Reproduced on a full 51-query bench run (the burst
+  * hit during stages warmup; 22 queries were lost to "Cannot call
+  * methods on a stopped SparkContext"), and the same signature —
+  * shutdown hook + stopped-context failures on the last queries —
+  * matches the round-3 driver bench loss.
+  *
+  * There is nothing to detect: if the local executor dies the JVM is
+  * already gone. So make the heartbeat chain starvation-proof. Harmless
+  * on a real cluster-mode deployment, where these values would instead
+  * be tuned for genuine failure detection.
+  */
+object LocalHardening {
+  val resilience: Map[String, String] = Map(
+    // HeartbeatReceiver's executor-expiry threshold (and the shared RPC
+    // ask timeout — no cross-node fetches exist in one JVM, so safe).
+    "spark.network.timeout" -> "3600s",
+    // Must stay well under the timeout; 60 s also cuts heartbeat RPC
+    // noise and makes maxFailures-worth of rejections take 60 min.
+    "spark.executor.heartbeatInterval" -> "60s")
+}

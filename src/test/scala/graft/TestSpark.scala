@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
+      // starvation-proof the in-process executor (see LocalHardening)
+      .config(graft.util.LocalHardening.resilience)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
