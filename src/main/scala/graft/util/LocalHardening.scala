@@ -31,5 +31,11 @@ object LocalHardening {
     "spark.network.timeout" -> "3600s",
     // Must stay well under the timeout; 60 s also cuts heartbeat RPC
     // noise and makes maxFailures-worth of rejections take 60 min.
-    "spark.executor.heartbeatInterval" -> "60s")
+    "spark.executor.heartbeatInterval" -> "60s",
+    // Broadcast-exchange build timeout, 300 s default — this host has
+    // measured starvation windows >300 s (BENCH.md: a 351 s query that
+    // runs 25-59 s healthy), which would fail any broadcast join whose
+    // build straddles one. Same reasoning as above: in one JVM a slow
+    // broadcast is starvation, not a lost node.
+    "spark.sql.broadcastTimeout" -> "3600")
 }
