@@ -47,22 +47,29 @@ object Incremental {
       tokenDfCap: Int = Blocking.DefaultTokenDfCap): DataFrame = {
     val ent = entities.select(col("entity_id"),
       Features.dictEncode(col("token_union")).as("e_token_ids"),
-      col("token_union"), col("strong_keys_union"))
+      col("strong_keys_union"))
     // entity-side inverted indexes; token keys df-capped ON THE CATALOG
-    // (a token present in > cap entities separates nothing)
+    // (a token present in > cap entities separates nothing). The token
+    // index is keyed by the 8-byte dictionary ids, not the strings —
+    // this is the widest shuffle of the attach (catalog tokens × new
+    // tokens), and ids cut its key bytes several-fold. Identical
+    // candidates and df-caps to a string-keyed index under xxhash64
+    // injectivity-in-practice — the same published argument the jaccard
+    // scoring already rests on (Features.dictEncode scaladoc); the
+    // string-keyed DuckDB oracle stays exact.
     val strongIdx = ent.select(col("entity_id"),
       explode(col("strong_keys_union")).as("bkey"))
     val tokIdx = ent.select(col("entity_id"),
-      explode(col("token_union")).as("tok"))
+      explode(col("e_token_ids")).as("tok"))
     val rare = tokIdx.groupBy("tok").count()
       .filter(col("count") <= tokenDfCap).select("tok")
-    val newSlim = newRecords.select(col("conv_id"), col("token_set"),
+    val newSlim = newRecords.select(col("conv_id"),
       col("token_ids"), col("strong_keys"))
     val candStrong = newSlim
       .select(col("conv_id"), explode(col("strong_keys")).as("bkey"))
       .join(strongIdx, "bkey").select("conv_id", "entity_id")
     val candTok = newSlim
-      .select(col("conv_id"), explode(col("token_set")).as("tok"))
+      .select(col("conv_id"), explode(col("token_ids")).as("tok"))
       .join(tokIdx.join(rare, "tok"), "tok").select("conv_id", "entity_id")
     val cand = candStrong.unionByName(candTok)
       .dropDuplicates("conv_id", "entity_id")
@@ -71,9 +78,7 @@ object Incremental {
     // the join bytes for nothing
     val entScore = ent.select(col("entity_id"), col("e_token_ids"),
       col("strong_keys_union"))
-    val newScore = newSlim.select(col("conv_id"), col("token_ids"),
-      col("strong_keys"))
-    val scored = cand.join(newScore, "conv_id").join(entScore, "entity_id")
+    val scored = cand.join(newSlim, "conv_id").join(entScore, "entity_id")
       .withColumn("strong_hit",
         arrays_overlap(col("strong_keys"), col("strong_keys_union")))
       .withColumn("jac", Scoring.jaccard(col("token_ids"), col("e_token_ids")))
