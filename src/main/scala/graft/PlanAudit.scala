@@ -64,6 +64,21 @@ object PlanAudit {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     }
 
+    // 4. incremental attach: the catalog-token index join must key on
+    // the 8-byte dictionary ids (bigint), not token strings — the
+    // widest shuffle of the attach path
+    val bucket = Sampling.hashBucket(col("conv_id"), 10L)
+    val base = records.filter(bucket < 9)
+    // singleton labeling: the attach plan's SHAPE (index joins, window)
+    // is independent of label quality, so skip the pipeline build here
+    val catalog = Entities.fuse(base,
+      base.select(col("conv_id"), col("conv_id").as("entity_id")))
+    val attached = Incremental.attach(records.filter(bucket === 9), catalog)
+    section("incremental attach") {
+      attached.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+
     // quick grep-style assertions, reported not thrown
     val scanPlan = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
@@ -79,6 +94,14 @@ object PlanAudit {
     println(s"scoring in codegen:    ${scoredPlan.contains("codegen id")}")
     println(s"no cartesian product:  ${!scoredPlan.contains("Cartesian")}")
     println(s"jaro_winkler inlined:  ${scoredPlan.contains("jaro_winkler")}")
+    attached.count()
+    val attachPlan = attached.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    println(s"attach no cartesian:   ${!attachPlan.contains("Cartesian")}")
+    println(s"attach token idx on ids (no string tok key): ${
+      !attachPlan.contains("tok#") ||
+        attachPlan.linesIterator.filter(_.contains("hashpartitioning(tok#"))
+          .forall(l => !l.contains("string"))}")
     spark.stop()
   }
 }
