@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Aggregate target/scale_r4_rep*.jsonl (graft.BenchScale output) into
+"""Aggregate bench/scale_r4_rep*.jsonl (graft.BenchScale output) into
 the BENCH.md round-4 scaling table: per-kernel throughput by core count
 across repeats, plus N->4N efficiency computed WITHIN each repeat (same
 tenancy window) and the across-repeat median, mirroring the round-3
@@ -7,7 +7,8 @@ protocol so the two rounds are directly comparable."""
 import json, glob, statistics, sys
 
 reps = []
-for path in sorted(glob.glob("target/scale_r4_rep*.jsonl")):
+for path in sorted(glob.glob("bench/scale_r4_rep*.jsonl") or
+                   glob.glob("target/scale_r4_rep*.jsonl")):
     rows = {}
     with open(path) as f:
         for ln in f:
