@@ -43,8 +43,18 @@ object Bench {
 
     // ---- incremental, kill-safe result record -------------------------
     val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    // warmup attribution must survive a kill DURING a warmup block (the
+    // largest single block in the driver's bench budget): record each
+    // block's start, and let line() fall back to elapsed-so-far when the
+    // final assignment never happened — a partial record saying
+    // "warmup_sec":0 after 200 s of warmup would hide where the budget
+    // went.
     @volatile var warmupSec = 0.0
     @volatile var stagesWarmupSec = 0.0
+    @volatile var warmupStart = 0L
+    @volatile var stagesStart = 0L
+    def elapsedOr(done: Double, start: Long): Double =
+      if (done > 0 || start == 0L) done else (System.nanoTime() - start) / 1e9
     val emitted = new AtomicBoolean(false)
 
     // Host-noise sentinel: cumulative stop-the-world GC pause time. On
@@ -65,9 +75,15 @@ object Bench {
     def line(partial: Boolean): String = {
       import scala.jdk.CollectionConverters._
       Contract.benchLine(results.asScala.toSeq, sfDir,
-        warmupSec, stagesWarmupSec, gcPauseSec, partial)
+        elapsedOr(warmupSec, warmupStart),
+        elapsedOr(stagesWarmupSec, stagesStart), gcPauseSec, partial)
     }
-    def writeRecord(partial: Boolean): Unit = {
+    // The shutdown hook and the main loop both rewrite bench_last.json;
+    // unsynchronized, a SIGTERM landing mid-writeString could interleave
+    // two truncate+write sequences and leave a torn file at exactly the
+    // moment the kill-safe record matters.
+    val recordLock = new Object
+    def writeRecord(partial: Boolean): Unit = recordLock.synchronized {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("/root/repo/target"))
       java.nio.file.Files.writeString(
@@ -88,6 +104,7 @@ object Bench {
     // whole pipeline build and can trip per-query timeouts). The cost is
     // REPORTED, not hidden: warmup_sec in the JSON line.
     val tWarm0 = System.nanoTime()
+    warmupStart = tWarm0
     try {
       val tier = Tiers.tierFor(sfDir)
       graft.pipeline.Pipeline.run(spark, Tiers.ensureTranscripts(spark, tier),
@@ -102,6 +119,7 @@ object Bench {
     // docShingles joined the warm set in round 4 — the dedup family now
     // shares one shingling pass. Cost reported as stages_warmup_sec.
     val tWarm1 = System.nanoTime()
+    stagesStart = tWarm1
     try {
       // per-stage stderr timings: the warmup is the largest single block
       // in the driver's bench budget, so its breakdown should be

@@ -98,10 +98,28 @@ object PlanAudit {
     val attachPlan = attached.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     println(s"attach no cartesian:   ${!attachPlan.contains("Cartesian")}")
-    println(s"attach token idx on ids (no string tok key): ${
-      !attachPlan.contains("tok#") ||
-        attachPlan.linesIterator.filter(_.contains("hashpartitioning(tok#"))
-          .forall(l => !l.contains("string"))}")
+    // Programmatic, not grep: plan strings print join keys as bare
+    // `tok#123` with no type name (longs get an L suffix, strings get
+    // nothing), so a text search for "string" can never fail — it would
+    // green-light the exact string-keyed regression this check guards.
+    // Walk the physical joins instead and assert every `tok` join key is
+    // 8-byte LongType (the dictionary ids), not StringType.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def tokJoinKeyTypes(p: SparkPlan): Seq[org.apache.spark.sql.types.DataType] = {
+      val keys = p match {
+        case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+        case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+        case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+        case _ => Nil
+      }
+      keys.collect { case a: AttributeReference if a.name == "tok" => a.dataType } ++
+        p.children.flatMap(tokJoinKeyTypes)
+    }
+    val tokTypes = tokJoinKeyTypes(attached.queryExecution.executedPlan).distinct
+    println(s"attach token idx on ids (tok join-key types must be [LongType]): " +
+      s"${tokTypes == Seq(org.apache.spark.sql.types.LongType)} ($tokTypes)")
     spark.stop()
   }
 }

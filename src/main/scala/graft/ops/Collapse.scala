@@ -47,13 +47,22 @@ object Collapse {
     // re-ran collapse∘explode over every turn and shuffled the full text
     // twice (measured 35 s → 13 s at bench tier). (conv_id, turn_idx) is
     // unique on both sides, so the side-marked anti rows are identical
-    // to the except formulation's.
+    // to the except formulation's. Join keys are NULL-SAFE (<=>) to keep
+    // except()'s NULLs-equal semantics (and the DuckDB oracle's EXCEPT):
+    // a NULL text must match itself, not report two phantom violations.
+    // <=> is still an equi-join key for Spark's hash joins — same plan
+    // shape. The back side is renamed (not aliased) because it shares
+    // lineage with source (records = collapse(source)) and conv_id's
+    // attribute id survives the groupBy — df("c") disambiguation would
+    // be ambiguous-self-join territory.
     val src = source.select(key.map(col): _*).withColumn("in_src", lit(1))
-    val back = explodeBack(records).select(key.map(col): _*)
+    val back = explodeBack(records)
+      .select(key.map(c => col(c).as(s"b_$c")): _*)
       .withColumn("in_back", lit(1))
-    src.join(back, key, "full_outer")
+    val cond = key.map(c => col(c) <=> col(s"b_$c")).reduce(_ && _)
+    src.join(back, cond, "full_outer")
       .filter(col("in_src").isNull || col("in_back").isNull)
-      .select(key.map(col) :+
+      .select(key.map(c => coalesce(col(c), col(s"b_$c")).as(c)) :+
         when(col("in_back").isNull, lit("missing_in_records"))
           .otherwise(lit("extra_in_records")).as("side"): _*)
   }

@@ -73,12 +73,11 @@ object Incremental {
       .join(tokIdx.join(rare, "tok"), "tok").select("conv_id", "entity_id")
     val cand = candStrong.unionByName(candTok)
       .dropDuplicates("conv_id", "entity_id")
-    // slim hydration: scoring needs only the id arrays + strong keys —
-    // shipping token_union/token_set strings per candidate pair doubled
-    // the join bytes for nothing
-    val entScore = ent.select(col("entity_id"), col("e_token_ids"),
-      col("strong_keys_union"))
-    val scored = cand.join(newSlim, "conv_id").join(entScore, "entity_id")
+    // hydration is slim by construction: ent already carries only the id
+    // arrays + strong keys (token_union was dropped at dictEncode time) —
+    // shipping the wide string sets per candidate pair would double the
+    // join bytes for nothing
+    val scored = cand.join(newSlim, "conv_id").join(ent, "entity_id")
       .withColumn("strong_hit",
         arrays_overlap(col("strong_keys"), col("strong_keys_union")))
       .withColumn("jac", Scoring.jaccard(col("token_ids"), col("e_token_ids")))
