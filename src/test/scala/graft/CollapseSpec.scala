@@ -38,6 +38,25 @@ class CollapseSpec extends AnyFunSuite {
     assert(back.except(fixture).count() == 0 && fixture.except(back).count() == 0)
   }
 
+  test("invariant audit: NULL text equals itself (except()/EXCEPT semantics)") {
+    // the schema contract says text is non-null, but the audit operator
+    // must not manufacture phantom violations if a corpus breaks it: the
+    // null-safe join keys keep except()'s NULLs-equal semantics
+    val src = Seq(
+      ("c1", 0, "user", null.asInstanceOf[String], None: Option[String], ts(0)),
+      ("c1", 1, "assistant", "ok", None: Option[String], ts(1)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val recs = Collapse.collapse(src)
+    assert(Collapse.invariantViolations(src, recs).count() == 0)
+    // and a REAL mismatch on the null row is still caught, once per side
+    val tampered = Collapse.collapse(
+      src.withColumn("text", coalesce($"text", lit("tampered"))))
+    val v = Collapse.invariantViolations(src, tampered)
+    assert(v.count() == 2)
+    assert(v.select("side").as[String].collect().sorted.toSeq ==
+      Seq("extra_in_records", "missing_in_records"))
+  }
+
   test("enrich: text_all, tokens, shingles, strong keys") {
     val recs = Features.enrich(Collapse.collapse(fixture))
     val c1 = recs.filter($"conv_id" === "c1").head()
