@@ -442,7 +442,7 @@ object SparkEntry {
       |  SELECT conv_id,
       |    count(*)::INT AS n_turns,
       |    string_agg(text, ' ' ORDER BY turn_idx) AS text_all,
-      |    coalesce('T:' || string_agg(tool, '|' ORDER BY turn_idx) FILTER (WHERE tool IS NOT NULL), '') AS strong_key,
+      |    coalesce('T:' || string_agg(length(tool)::VARCHAR || ':' || tool, '|' ORDER BY turn_idx) FILTER (WHERE tool IS NOT NULL), '') AS strong_key,
       |    arg_min(text, turn_idx) AS first_text,
       |    arg_min(ts, turn_idx) AS ts0
       |  FROM src GROUP BY conv_id
@@ -954,10 +954,13 @@ object SparkEntry {
         |  FROM cc JOIN basei t USING (conv_id) GROUP BY 1
         | ), eidx_tok AS MATERIALIZED (SELECT entity_id, unnest(token_union) AS tok FROM ents),
         | erare AS (SELECT tok FROM eidx_tok GROUP BY tok HAVING count(*) <= 50),
+        | eidx_sk AS MATERIALIZED (SELECT entity_id, unnest(strong_keys_union) AS bkey FROM ents),
+        | skkeep AS (SELECT bkey FROM eidx_sk GROUP BY bkey HAVING count(*) <= 1000),
         | ntokex AS MATERIALIZED (SELECT conv_id, unnest(token_set) AS tok FROM newi),
         | cand AS MATERIALIZED (
-        |  SELECT n.conv_id, e.entity_id FROM newi n
-        |  JOIN ents e ON n.strong_key <> '' AND list_contains(e.strong_keys_union, n.strong_key)
+        |  SELECT n.conv_id, i.entity_id FROM newi n
+        |  JOIN eidx_sk i ON n.strong_key <> '' AND i.bkey = n.strong_key
+        |  JOIN skkeep k ON k.bkey = i.bkey
         |  UNION
         |  SELECT nx.conv_id, i.entity_id
         |  FROM ntokex nx

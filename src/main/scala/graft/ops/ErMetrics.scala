@@ -121,11 +121,17 @@ object ErMetrics {
         (col("ci") * col("ci") / col("cp")).as("psum"),
         (col("ci") * col("ci") / col("ct")).as("rsum"),
         col("ci"))
+    // coalesce + n==0 branch: with empty or conv_id-disjoint labelings
+    // the sums are NULL and bare getters would NPE — same empty-case
+    // guard as pairwise/muc/closestCluster
     val row = perCell.agg(
-      sum("psum").as("ps"), sum("rsum").as("rs"), sum("ci").as("n")).head()
-    val n = row.getLong(2).toDouble
-    val bp = row.getDouble(0) / n
-    val br = row.getDouble(1) / n
+      coalesce(sum("psum"), lit(0.0)).as("ps"),
+      coalesce(sum("rsum"), lit(0.0)).as("rs"),
+      coalesce(sum("ci"), lit(0L)).as("n")).head()
+    val nL = row.getLong(2)
+    val (bp, br) =
+      if (nL == 0) (1.0, 1.0)
+      else (row.getDouble(0) / nL, row.getDouble(1) / nL)
     val bf = if (bp + br == 0) 0.0 else 2 * bp * br / (bp + br)
     val spark = truthLabels.sparkSession
     import spark.implicits._
@@ -203,8 +209,14 @@ object ErMetrics {
     */
   def blockingRecall(truthLabels: DataFrame, universe: DataFrame): DataFrame = {
     val truthPairs = inducedPairs(truthLabels)
+    // dedup the universe before the left join: a duplicated (a_id, b_id)
+    // row would fan the join out and inflate BOTH counts (candidatePairs
+    // happens to dropDuplicates today, but this operator must not depend
+    // on its caller's hygiene)
     truthPairs
-      .join(universe.withColumn("cov", lit(1)), Seq("a_id", "b_id"), "left")
+      .join(universe.select(col("a_id"), col("b_id"))
+        .dropDuplicates("a_id", "b_id").withColumn("cov", lit(1)),
+        Seq("a_id", "b_id"), "left")
       .agg(count(lit(1)).as("n_truth"),
         coalesce(sum(col("cov")), lit(0L)).as("n_covered"))
       .withColumn("recall",

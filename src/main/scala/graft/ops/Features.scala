@@ -62,12 +62,24 @@ object Features {
   /** F5: strong key = exact tool-call signature sequence (the
     * transcripts analogue of the reference's high-precision strong
     * features like phone/email [PK-high]).
+    *
+    * Each tool name is length-prefixed before the '|' join, making the
+    * encoding INJECTIVE: without it, tools ["a|b"] and ["a","b"] both
+    * produced "T:a|b" — a delimiter-containing tool name (user-defined
+    * tool names can contain anything) would collide two different
+    * signatures into one strong key and force a guaranteed false merge
+    * through the high-precision feature. "<len>:<tool>" parses
+    * unambiguously (read digits to ':', take exactly len chars, expect
+    * '|' or end), so distinct sequences always get distinct keys. The
+    * DuckDB oracle mirrors the same encoding (SparkEntry RECS CTE);
+    * both engines count length in codepoints.
     */
   def strongKeys(turns: Column): Column = {
     val sig = array_join(
       transform(
         filter(turns, t => t.getField("tool").isNotNull),
-        t => t.getField("tool")),
+        t => concat(length(t.getField("tool")).cast("string"), lit(":"),
+          t.getField("tool"))),
       "|")
     when(length(sig) > 0, array(concat(lit("T:"), sig)))
       .otherwise(array().cast("array<string>"))

@@ -40,14 +40,27 @@ object Incremental {
     *   (conv_id, token_set, token_ids, strong_keys, ...)
     * @param entities   Entities.fuse output for the existing catalog
     *   (entity_id, token_union, strong_keys_union, ...)
+    * @param strongDfCap strong keys held by more entities than this are
+    *   excluded from CANDIDATE GENERATION (scoring still sees the full
+    *   key sets) — the attach analogue of the batch path's
+    *   blockSizeCap-dropped strong blocks: one degenerate hot signature
+    *   shared by 100k catalog entities would otherwise fan every
+    *   matching batch record out catalog-wide, unbounded by anything
+    *   upstream, and blow the per-record best-match window group.
     * @return (conv_id, entity_id) — one row per new record
     */
   def attach(newRecords: DataFrame, entities: DataFrame,
       jaccardThreshold: Double = Scoring.DefaultJaccardThreshold,
-      tokenDfCap: Int = Blocking.DefaultTokenDfCap): DataFrame = {
+      tokenDfCap: Int = Blocking.DefaultTokenDfCap,
+      strongDfCap: Int = Pairs.PairConfig().blockSizeCap): DataFrame = {
+    // materialize the slim catalog projection ONCE (same pattern as
+    // Swoosh.refine's fused-catalog checkpoint): it feeds three separate
+    // subtrees of the plan (strong index, token index + df-caps, and the
+    // scoring hydration join), and without this each re-ran the
+    // catalog-wide dictEncode pass
     val ent = entities.select(col("entity_id"),
       Features.dictEncode(col("token_union")).as("e_token_ids"),
-      col("strong_keys_union"))
+      col("strong_keys_union")).localCheckpoint(true)
     // entity-side inverted indexes; token keys df-capped ON THE CATALOG
     // (a token present in > cap entities separates nothing). The token
     // index is keyed by the 8-byte dictionary ids, not the strings —
@@ -57,8 +70,12 @@ object Incremental {
     // injectivity-in-practice — the same published argument the jaccard
     // scoring already rests on (Features.dictEncode scaladoc); the
     // string-keyed DuckDB oracle stays exact.
-    val strongIdx = ent.select(col("entity_id"),
+    val strongIdxAll = ent.select(col("entity_id"),
       explode(col("strong_keys_union")).as("bkey"))
+    val strongIdx = strongIdxAll.join(
+      strongIdxAll.groupBy("bkey").count()
+        .filter(col("count") <= strongDfCap).select("bkey"),
+      Seq("bkey"), "left_semi")
     val tokIdx = ent.select(col("entity_id"),
       explode(col("e_token_ids")).as("tok"))
     val rare = tokIdx.groupBy("tok").count()

@@ -50,8 +50,7 @@ object Pairs {
     * re-deriving the block table per consumer.
     */
   def candidatePairs(blocks: DataFrame, cfg: PairConfig = PairConfig()): DataFrame = {
-    val keptSizes = blocks.groupBy(col("bkey"))
-      .agg(count(lit(1)).as("block_size"))
+    val keptSizes = Blocking.blockSizes(blocks)
       .filter(col("block_size") <= cfg.blockSizeCap)
     val sized = blocks.join(keptSizes, "bkey")
       .select(col("bkey"), col("conv_id"), col("block_size"))

@@ -149,11 +149,17 @@ object Scoring {
     bias = -9.0, strong = 18.0, jaccard = 20.0, lev = 0.0, jw = 0.0)
 
   def logisticScore(w: LogisticWeights = DefaultWeights): Column = {
+    // NULL-robust: a missing feature contributes zero evidence instead of
+    // nulling the whole score (0.0 * NULL = NULL in Spark — one NULL
+    // first_text would otherwise silently drop every pair touching that
+    // record from any score-ranked consumer). Features stay nullable
+    // upstream on purpose (imputeMeans is the F8 missing-value operator);
+    // this is the last-line guard for consumers that score directly.
     val z = lit(w.bias) +
       when(col("strong_overlap"), lit(w.strong)).otherwise(lit(0.0)) +
-      lit(w.jaccard) * col("jaccard_tokens") +
-      lit(w.lev) * col("lev_first") +
-      lit(w.jw) * col("jw_first")
+      lit(w.jaccard) * coalesce(col("jaccard_tokens"), lit(0.0)) +
+      lit(w.lev) * coalesce(col("lev_first"), lit(0.0)) +
+      lit(w.jw) * coalesce(col("jw_first"), lit(0.0))
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 

@@ -25,26 +25,40 @@ object Swoosh {
     * (conv_id, entity_id) labeling with canonical min-conv_id ids; the
     * result keeps that canonical form (min of mins).
     *
-    * @param changedOnly when Some(df of entity_id): only candidate pairs
-    *   touching at least one listed entity are re-scored. Refinement only
+    * @param changedOnly when Some(df of entity_id): only blocks containing
+    *   at least one listed entity are re-enumerated. Refinement only
     *   MERGES clusters (CC over a superset of the identity relation), so
     *   an entity untouched by round r has a bit-identical fused feature
-    *   set in round r+1 — every unchanged×unchanged pair was already
-    *   scored no-match and can be skipped without changing the fixpoint
-    *   (round-2 VERDICT "Next round" #7). The changed set is small
-    *   (merge participants only), so the restriction joins broadcast.
+    *   set in round r+1, and a block's existence/cap status can only
+    *   change through a merge among its members — fused entities hold
+    *   value-set UNIONS, so a token's entity-df and a block's size only
+    *   shrink when two holders merge, and the merged (changed) entity is
+    *   always still a member. Hence every block whose pair set could
+    *   differ from round r contains a changed entity, and skipping
+    *   changed-free blocks is EXACT (round-2 VERDICT "Next round" #7).
+    *   Within a kept block all pairs are enumerated — including
+    *   unchanged×unchanged ones: a block that newly drops under the
+    *   token-df or block-size cap this round was never enumerated
+    *   before, so its unchanged×unchanged pairs have NOT all been
+    *   scored (a pair-level changed-only filter here would silently
+    *   lose those merges and diverge from the full-refine fixpoint).
+    * @param clusterSizeCap forwarded to Entities.fuse (which reports any
+    *   dropped over-cap clusters itself) — a caller-tuned cap must not
+    *   silently fall back to the default inside refine rounds.
     */
   def refine(records: DataFrame, labels: DataFrame,
       jaccardThreshold: Double = Scoring.DefaultJaccardThreshold,
       tokenDfCap: Int = Blocking.DefaultTokenDfCap,
       pairCfg: Pairs.PairConfig = Pairs.PairConfig(),
-      changedOnly: Option[DataFrame] = None): DataFrame = {
+      changedOnly: Option[DataFrame] = None,
+      clusterSizeCap: Int = ErMetrics.DefaultClusterSizeCap): DataFrame = {
     // Eagerly materialize the fused catalog ONCE: four downstream plans
     // consume it (the block chain, both hydration sides, and the CC node
     // universe), and without the checkpoint each re-ran the whole
     // records×labels fusion agg — the dominant cost of the round at
     // bench tier (round-3 VERDICT: er_f1_swoosh 161 s, mostly re-fusion).
-    val entities = Entities.fuse(records, labels).localCheckpoint(true)
+    val entities =
+      Entities.fuse(records, labels, clusterSizeCap).localCheckpoint(true)
     // entity-level records: the fused value sets play the per-record role
     val erecs = entities.select(
       col("entity_id").as("conv_id"),
@@ -57,30 +71,27 @@ object Swoosh {
       case None => Pairs.candidatePairs(blocks, pairCfg)
       case Some(chg) =>
         val ids = chg.select(col("entity_id"))
-        // A block with no changed member can only yield unchanged ×
-        // unchanged pairs — every one already scored no-match in the
-        // previous round — so restrict the block table to blocks that
-        // CONTAIN a changed entity BEFORE the quadratic within-block
-        // enumeration (round-3 VERDICT "Next round" #7: don't re-pay
-        // the whole catalog's pair enumeration every refine round). The
-        // left-semi on bkey keeps every member row of a kept block, so
-        // kept blocks enumerate, cap, and salt exactly as before: the
-        // surviving pair set is identical (SwooshSpec's delta-vs-full
-        // equivalence test), the enumeration cost is proportional to
-        // the merge-touched blocks only. Both semi-join build sides are
-        // tiny (changed ids; their block keys) → broadcast.
+        // A block with no changed member has a bit-identical member and
+        // pair set to the previous round (see the changedOnly contract
+        // above — cap transitions always involve a changed member), so
+        // restrict the block table to blocks that CONTAIN a changed
+        // entity BEFORE the quadratic within-block enumeration
+        // (round-3 VERDICT "Next round" #7: don't re-pay the whole
+        // catalog's pair enumeration every refine round). The left-semi
+        // on bkey keeps every member row of a kept block, so kept blocks
+        // enumerate, cap, and salt exactly as before, and ALL their
+        // pairs are scored — no pair-level changed filter, which would
+        // be unsound across cap transitions. No forced broadcast: the
+        // delta sets are localCheckpoint'd, so AQE sees their real size
+        // and broadcasts exactly when they are genuinely small (round 1
+        // of a fragmented corpus can have a catalog-sized delta — a
+        // broadcast() hint there would be a driver OOM, not a speedup).
         val chgKeys = blocks
-          .join(broadcast(ids.withColumnRenamed("entity_id", "conv_id")),
+          .join(ids.withColumnRenamed("entity_id", "conv_id"),
             Seq("conv_id"), "left_semi")
           .select(col("bkey")).distinct()
-        val restricted = blocks.join(broadcast(chgKeys), Seq("bkey"), "left_semi")
+        val restricted = blocks.join(chgKeys, Seq("bkey"), "left_semi")
         Pairs.candidatePairs(restricted, pairCfg)
-          .join(ids.withColumnRenamed("entity_id", "a_id")
-            .withColumn("a_chg", lit(true)), Seq("a_id"), "left")
-          .join(ids.withColumnRenamed("entity_id", "b_id")
-            .withColumn("b_chg", lit(true)), Seq("b_id"), "left")
-          .filter(col("a_chg").isNotNull || col("b_chg").isNotNull)
-          .select(col("a_id"), col("b_id"))
     }
     // lean hydration: entity matching needs only the two value sets
     val slim = erecs.select(col("conv_id"), col("token_ids"), col("strong_keys"))
@@ -117,7 +128,8 @@ object Swoosh {
       maxRounds: Int = 5,
       jaccardThreshold: Double = Scoring.DefaultJaccardThreshold,
       tokenDfCap: Int = Blocking.DefaultTokenDfCap,
-      pairCfg: Pairs.PairConfig = Pairs.PairConfig()): DataFrame = {
+      pairCfg: Pairs.PairConfig = Pairs.PairConfig(),
+      clusterSizeCap: Int = ErMetrics.DefaultClusterSizeCap): DataFrame = {
     var cur = labels.localCheckpoint(true)
     var changed: Option[DataFrame] = None
     var round = 0
@@ -125,7 +137,8 @@ object Swoosh {
     while (!converged && round < maxRounds) {
       round += 1
       val next = refine(records, cur, jaccardThreshold, tokenDfCap, pairCfg,
-        changedOnly = changed).localCheckpoint(true)
+        changedOnly = changed, clusterSizeCap = clusterSizeCap)
+        .localCheckpoint(true)
       // entities that merged this round = new ids owning ≥1 moved record
       val delta = cur.select(col("conv_id"), col("entity_id").as("old_e"))
         .join(next, "conv_id")

@@ -30,7 +30,7 @@ object Pipeline {
   /** Bumped whenever a stage's semantics change: checkpoints written by
     * older code must not be resumed into newer pipelines.
     */
-  val CodeVersion = "g4"
+  val CodeVersion = "g5"
 
   /** Cheap order-independent input fingerprint: one scan, (row count,
     * XOR of row hashes — overflow-free at any scale) over the

@@ -67,12 +67,30 @@ class CollapseSpec extends AnyFunSuite {
       Seq("alpha", "beta", "beta", "gamma", "gamma", "delta"))
     assert(arr(c1, "token_set") == Seq("alpha", "beta", "delta", "gamma"))
     assert(arr(c1, "shingles").contains("alpha beta beta"))
-    assert(arr(c1, "strong_keys") == Seq("T:calc(a2)"))
+    assert(arr(c1, "strong_keys") == Seq("T:8:calc(a2)"))
     assert(c1.getAs[Int]("n_turns") == 3)
     val c2 = recs.filter($"conv_id" === "c2").head()
-    assert(arr(c2, "strong_keys") == Seq("T:search(a1)"))
+    assert(arr(c2, "strong_keys") == Seq("T:10:search(a1)"))
     // shingles of a 2-token conv are empty, not an error
     assert(arr(c2, "shingles").isEmpty)
+  }
+
+  test("strong keys are injective across delimiter-containing tool names") {
+    // ["a|b"] vs ["a","b"]: naive '|'-joining collides both to "T:a|b"
+    // and force-merges two unrelated conversations through the
+    // high-precision feature; the length-prefixed encoding keeps them
+    // distinct
+    val src = Seq(
+      TranscriptRow("x1", 0, "user", "t", Some("a|b"), ts(0)),
+      TranscriptRow("y1", 0, "user", "t", Some("a"), ts(1)),
+      TranscriptRow("y1", 1, "user", "t", Some("b"), ts(2))
+    ).toDS().toDF()
+    val keys = Features.enrich(Collapse.collapse(src))
+      .select($"conv_id", $"strong_keys").as[(String, Seq[String])]
+      .collect().toMap
+    assert(keys("x1") == Seq("T:3:a|b"))
+    assert(keys("y1") == Seq("T:1:a|1:b"))
+    assert(keys("x1") != keys("y1"))
   }
 
   test("minhash bands: identical token sets share all bands, stable") {
