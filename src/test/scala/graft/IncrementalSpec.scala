@@ -48,6 +48,27 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got == Map("n1" -> "c1"))
   }
 
+  test("attach: strong keys hotter than strongDfCap don't fan out candidates") {
+    // three singleton entities share one degenerate strong key
+    val base = recs(Seq(
+      ("c1", Seq("a1", "a2"), Seq("T:hot")),
+      ("c2", Seq("b1", "b2"), Seq("T:hot")),
+      ("c3", Seq("d1", "d2"), Seq("T:hot"))))
+    val labels = Seq(("c1", "c1"), ("c2", "c2"), ("c3", "c3"))
+      .toDF("conv_id", "entity_id")
+    val entities = Entities.fuse(base, labels)
+    val newr = recs(Seq(("n1", Seq("zzz"), Seq("T:hot"))))
+    // default cap: the key is usable → deterministic min-entity attach
+    val open = Incremental.attach(newr, entities)
+      .as[(String, String)].collect().toMap
+    assert(open == Map("n1" -> "c1"))
+    // cap below the key's entity-df (3 > 2): candidate generation skips
+    // the hot key entirely → no candidates → the record mints itself
+    val capped = Incremental.attach(newr, entities, strongDfCap = 2)
+      .as[(String, String)].collect().toMap
+    assert(capped == Map("n1" -> "n1"))
+  }
+
   test("attach over the generated tier agrees with batch CC for clean splits") {
     // base = buckets 0-8, new = bucket 9 of the t1 corpus; for every new
     // record that the BATCH pipeline put into a multi-member entity whose

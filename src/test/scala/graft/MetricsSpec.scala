@@ -102,4 +102,26 @@ class MetricsSpec extends AnyFunSuite {
     val m = ErMetrics.closestCluster(empty, empty).head()
     assert(m.getDouble(0) == 1.0 && m.getDouble(1) == 1.0)
   }
+
+  test("bcubed on empty labelings degenerates instead of NPEing") {
+    val empty = Seq.empty[(String, String)].toDF("conv_id", "entity_id")
+    val m = ErMetrics.bcubed(empty, empty).head()
+    assert(m.getDouble(0) == 1.0 && m.getDouble(1) == 1.0)
+    // conv_id-disjoint labelings join to zero rows — same degenerate path
+    val t = Seq(("a", "a")).toDF("conv_id", "entity_id")
+    val p = Seq(("z", "z")).toDF("conv_id", "entity_id")
+    val m2 = ErMetrics.bcubed(t, p).head()
+    assert(m2.getDouble(0) == 1.0 && m2.getDouble(1) == 1.0)
+  }
+
+  test("blocking recall is invariant to duplicated universe rows") {
+    // same truth as "blocking recall by hand", universe rows tripled: a
+    // duplicated candidate pair must not fan the join out and inflate
+    // either count
+    val universe = Seq(("a", "b"), ("a", "b"), ("a", "b"),
+      ("d", "e"), ("d", "e"), ("x", "y")).toDF("a_id", "b_id")
+    val m = ErMetrics.blockingRecall(truth, universe).head()
+    assert(m.getLong(0) == 4 && m.getLong(1) == 2)
+    assert(m.getDouble(2) == 0.5)
+  }
 }

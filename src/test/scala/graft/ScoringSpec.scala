@@ -65,6 +65,23 @@ class ScoringSpec extends AnyFunSuite {
     assert(stillNull == 2L)
   }
 
+  test("logistic score treats NULL features as zero evidence, not NULL") {
+    // 0.0 * NULL = NULL in Spark: before the coalesce guard one NULL
+    // feature silently nulled the whole score and dropped the pair from
+    // any score-ranked consumer
+    val w = Scoring.DefaultWeights
+    val df = Seq(
+      (true, Option(0.5), Option.empty[Double], Option.empty[Double]),
+      (false, Option.empty[Double], Option.empty[Double], Option.empty[Double])
+    ).toDF("strong_overlap", "jaccard_tokens", "lev_first", "jw_first")
+    val got = df.withColumn("score", Scoring.logisticScore(w))
+      .select($"strong_overlap", $"score").as[(Boolean, Double)]
+      .collect().toMap
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    assert(math.abs(got(true) - sigmoid(w.bias + w.strong + w.jaccard * 0.5)) < 1e-12)
+    assert(math.abs(got(false) - sigmoid(w.bias)) < 1e-12)
+  }
+
   test("logistic score is monotone with the rule decision") {
     val rows = scored.select("is_match", "score").as[(Boolean, Double)].collect()
     val matchScores = rows.filter(_._1).map(_._2)
