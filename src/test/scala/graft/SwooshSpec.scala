@@ -77,6 +77,36 @@ class SwooshSpec extends AnyFunSuite {
     assert(withAll == fullOnce)
   }
 
+  // Cap-transition case: the (U,V) pair only becomes enumerable in a
+  // DELTA round. Tokens t1..t3 are held by {A,B,U,V} — block size 4 >
+  // blockSizeCap 3 — so round 1 enumerates no token pairs; A,B merge
+  // through their strong key. Round 2's fused catalog holds the t-blocks
+  // at size 3 ({AB,U,V}), kept because they contain the changed entity
+  // AB. Inside that block (U,V) is an unchanged×unchanged pair (jac 1.0;
+  // AB matches neither: 3/23 < 0.45): the block-level changed-only
+  // restriction must still enumerate and merge it — the old pair-level
+  // changed filter dropped exactly this pair and diverged from the
+  // full-refine fixpoint.
+  private def capRecs = Seq(
+    ("A", Seq("t1", "t2", "t3") ++ (1 to 10).map(i => s"a$i"), Seq("T:k1")),
+    ("B", Seq("t1", "t2", "t3") ++ (1 to 10).map(i => s"b$i"), Seq("T:k1")),
+    ("U", Seq("t1", "t2", "t3"), Seq.empty[String]),
+    ("V", Seq("t1", "t2", "t3"), Seq.empty[String])
+  ).toDF("conv_id", "token_set", "strong_keys")
+
+  test("delta rounds enumerate unchanged×unchanged pairs in cap-transition blocks") {
+    val cfg = graft.ops.Pairs.PairConfig(blockSizeCap = 3)
+    val singletons = Seq(("A", "A"), ("B", "B"), ("U", "U"), ("V", "V"))
+      .toDF("conv_id", "entity_id")
+    val fix = Swoosh.refineToFixpoint(capRecs, singletons, pairCfg = cfg)
+      .as[(String, String)].collect().toMap
+    // iterated FULL refine (no delta restriction) as the semantics oracle
+    var full = singletons
+    (1 to 3).foreach(_ => full = Swoosh.refine(capRecs, full, pairCfg = cfg))
+    assert(fix == full.as[(String, String)].collect().toMap)
+    assert(fix == Map("A" -> "A", "B" -> "A", "U" -> "U", "V" -> "U"))
+  }
+
   test("refine never splits clusters and keeps canonical min-id labels") {
     val out = Swoosh.refine(recs, initial).as[(String, String)].collect()
     // every member's label is the min conv_id of its refined cluster
