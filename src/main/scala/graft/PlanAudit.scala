@@ -17,6 +17,26 @@ import graft.ops._
   * Usage: runMain graft.PlanAudit [sfDir]
   */
 object PlanAudit {
+  /** All data types appearing as a `tok` join key anywhere in the plan —
+    * the guard for the id-keyed incremental index (must be [LongType];
+    * plan STRINGS print keys without type names, so a text grep cannot
+    * catch a string-keyed regression). Shared by the main below and
+    * PlanAuditSpec.
+    */
+  def tokJoinKeyTypes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val keys = p match {
+      case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+      case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+      case _ => Nil
+    }
+    keys.collect { case a: AttributeReference if a.name == "tok" => a.dataType } ++
+      p.children.flatMap(tokJoinKeyTypes)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -102,21 +122,8 @@ object PlanAudit {
     // `tok#123` with no type name (longs get an L suffix, strings get
     // nothing), so a text search for "string" can never fail — it would
     // green-light the exact string-keyed regression this check guards.
-    // Walk the physical joins instead and assert every `tok` join key is
-    // 8-byte LongType (the dictionary ids), not StringType.
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
-    def tokJoinKeyTypes(p: SparkPlan): Seq[org.apache.spark.sql.types.DataType] = {
-      val keys = p match {
-        case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
-        case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
-        case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
-        case _ => Nil
-      }
-      keys.collect { case a: AttributeReference if a.name == "tok" => a.dataType } ++
-        p.children.flatMap(tokJoinKeyTypes)
-    }
+    // Walk the physical joins instead (tokJoinKeyTypes above) and assert
+    // every `tok` join key is 8-byte LongType (the dictionary ids).
     val tokTypes = tokJoinKeyTypes(attached.queryExecution.executedPlan).distinct
     println(s"attach token idx on ids (tok join-key types must be [LongType]): " +
       s"${tokTypes == Seq(org.apache.spark.sql.types.LongType)} ($tokTypes)")

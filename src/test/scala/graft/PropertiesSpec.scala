@@ -55,6 +55,54 @@ class PropertiesSpec extends AnyFunSuite {
     assert(graft.ops.Collapse.invariantViolations(src, records).count() == 0)
   }
 
+  test("strong-key encoding: round-trip injective + Spark parity on adversarial names") {
+    // driver-side model of Features.strongKeys' length-prefixed encoding
+    def enc(ts: List[String]): String =
+      if (ts.isEmpty) "" else "T:" + ts.map(t => s"${t.length}:$t").mkString("|")
+    // the unambiguous parse the Features scaladoc promises: read digits
+    // to ':', take exactly len chars, expect '|' or end
+    def dec(s: String): List[String] =
+      if (s.isEmpty) Nil
+      else {
+        var rest = s.stripPrefix("T:")
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        while (rest.nonEmpty) {
+          val colon = rest.indexOf(':')
+          val len = rest.substring(0, colon).toInt
+          out += rest.substring(colon + 1, colon + 1 + len)
+          rest = rest.drop(colon + 1 + len)
+          if (rest.startsWith("|")) rest = rest.drop(1)
+        }
+        out.toList
+      }
+    // dec ∘ enc = id over an alphabet that includes the delimiters
+    // themselves ⇒ enc is injective: distinct tool sequences can never
+    // share a strong key
+    val toolGen = Gen.listOf(Gen.oneOf('a', 'b', '|', ':', '1'))
+      .map(_.mkString.take(8))
+    val seqGen = Gen.listOf(toolGen).map(_.take(6))
+    check(Prop.forAll(seqGen) { ts => dec(enc(ts)) == ts })
+    // parity: the Spark column computes the identical encoding on the
+    // adversarial shapes (delimiter/digit/colon-bearing tool names)
+    import spark.implicits._
+    val adversarial = List(
+      List("a|b"), List("a", "b"), List("1:a"), List(":", ":"),
+      List("", "x"), List("|"), List("3:a|b"), List("a:b|c"))
+    val rows = adversarial.zipWithIndex.flatMap { case (ts, ci) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        graft.model.TranscriptRow(s"c$ci", i, "user", "t", Some(t),
+          new java.sql.Timestamp(1700000000000L + i))
+      }
+    }
+    val got = graft.ops.Features.enrich(
+        graft.ops.Collapse.collapse(rows.toDS().toDF()))
+      .select($"conv_id", $"strong_keys").as[(String, Seq[String])]
+      .collect().toMap
+    adversarial.zipWithIndex.foreach { case (ts, ci) =>
+      assert(got(s"c$ci") == Seq(enc(ts)), s"c$ci: $ts")
+    }
+  }
+
   test("matchRule('weak_strong') = matchRule('strong') OR matchRule('weak')") {
     import spark.implicits._
     val f = Seq(
