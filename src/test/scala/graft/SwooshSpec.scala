@@ -107,6 +107,25 @@ class SwooshSpec extends AnyFunSuite {
     assert(fix == Map("A" -> "A", "B" -> "A", "U" -> "U", "V" -> "U"))
   }
 
+  test("over-cap clusters keep their labels through refine (clusterSizeCap)") {
+    // a 12-member cluster is excluded from fusion at cap 10 (collect_list
+    // buffer guard); its records must keep their old labels through the
+    // round's LEFT-join fallback instead of vanishing, while the normal
+    // A,B strong-key merge still happens
+    val monster = (0 until 12).map(i => (f"m$i%02d", Seq(s"tok$i"), Seq.empty[String]))
+    val rs = (monster ++ Seq(
+      ("A", Seq("a", "b", "c", "d"), Seq("T:k1")),
+      ("B", Seq("e", "f", "g", "h"), Seq("T:k1"))
+    )).toDF("conv_id", "token_set", "strong_keys")
+    val labels = ((0 until 12).map(i => (f"m$i%02d", "m00"))
+      ++ Seq(("A", "A"), ("B", "B"))).toDF("conv_id", "entity_id")
+    val out = Swoosh.refine(rs, labels, clusterSizeCap = 10)
+      .as[(String, String)].collect().toMap
+    (0 until 12).foreach(i => assert(out(f"m$i%02d") == "m00"))
+    assert(out("A") == "A" && out("B") == "A")
+    assert(out.size == 14)
+  }
+
   test("refine never splits clusters and keeps canonical min-id labels") {
     val out = Swoosh.refine(recs, initial).as[(String, String)].collect()
     // every member's label is the min conv_id of its refined cluster
