@@ -83,9 +83,23 @@ object Stages {
           .unionByName(timeBlocks(s, dir)))
     }
 
+  /** Full scored universe = the already-scored SQL universe plus the
+    * scored delta. Sound because (a) sqlUniversePairs ⊆ fullPairs — the
+    * block families have disjoint bkey namespaces (T:/W: vs M|/H:), so
+    * adding the minhash/time families never changes a strong/token
+    * block's size and therefore never changes its cap/salt fate — and
+    * (b) Scoring.score is a pure row-wise function of the hydrated pair.
+    * The two universes overlap ~96% at every tier, so this scores ~4% of
+    * the pairs the direct derivation would (measured: full_scored warmup
+    * 87–142 s → 16.7 s at sf0.1); StagesSpec pins multiset equality with
+    * the direct derivation.
+    */
   def fullScored(s: SparkSession, dir: String): DataFrame =
     cached("full_scored", dir) {
-      Scoring.score(Pairs.hydrate(fullPairs(s, dir), records(s, dir)))
+      val extra = fullPairs(s, dir).join(
+        sqlUniversePairs(s, dir), Seq("a_id", "b_id"), "left_anti")
+      sqlUniverseScored(s, dir).unionByName(
+        Scoring.score(Pairs.hydrate(extra, records(s, dir))))
     }
 
   def ccFull(s: SparkSession, dir: String): DataFrame =
