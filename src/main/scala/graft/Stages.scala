@@ -71,16 +71,24 @@ object Stages {
     }
 
   /** Full candidate pairs (strong ∪ capped-token ∪ MinHash-LSH ∪ time
-    * blocks) — allBlocks recomposed from the cached families (minhash
-    * bands are a cheap explode of the precomputed mh_bands column).
+    * blocks), composed as the cached SQL universe ∪ the pairs the
+    * minhash/time families add. Equivalent to running candidatePairs
+    * over all four families at once: block families have disjoint bkey
+    * namespaces (T:/W: vs M|/H:), so every block's size — and therefore
+    * its cap/salt fate — is the same whether its family is sized alone
+    * or in the union, and the final dropDuplicates gives the same pair
+    * set either way (StagesSpec pins this against the direct
+    * derivation). Skips re-sizing and re-joining the strong/token
+    * blocks that sqlUniversePairs already paid for.
     */
   def fullPairs(s: SparkSession, dir: String): DataFrame =
     cached("full_pairs", dir) {
-      Pairs.candidatePairs(
-        strongBlocks(s, dir)
-          .unionByName(tokenBlocks(s, dir))
-          .unionByName(Blocking.minhashBlocks(records(s, dir)))
+      val weakPairs = Pairs.candidatePairs(
+        Blocking.minhashBlocks(records(s, dir))
           .unionByName(timeBlocks(s, dir)))
+      sqlUniversePairs(s, dir).unionByName(weakPairs)
+        .dropDuplicates("a_id", "b_id")
+        .localCheckpoint(true)
     }
 
   /** Full scored universe = the already-scored SQL universe plus the

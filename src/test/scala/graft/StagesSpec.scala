@@ -15,6 +15,15 @@ class StagesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("delta-composed fullPairs equals candidatePairs over all four families") {
+    val composed = Stages.fullPairs(spark, dir)
+    val direct = Pairs.candidatePairs(
+      graft.ops.Blocking.allBlocks(Stages.records(spark, dir)))
+    assert(composed.count() == direct.count())
+    assert(composed.except(direct).count() == 0L)
+    assert(direct.except(composed).count() == 0L)
+  }
+
   test("sqlUniversePairs is a subset of fullPairs") {
     val missing = Stages.sqlUniversePairs(spark, dir)
       .join(Stages.fullPairs(spark, dir), Seq("a_id", "b_id"), "left_anti")
