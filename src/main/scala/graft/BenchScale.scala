@@ -16,6 +16,17 @@ import graft.ops._
   * Prints one JSON line: {"cores","tier","n_pairs","scoring_sec",
   * "pairs_per_sec","e2e_sec"}.
   *
+  * `SPARK_GRAFT_MASTER`, when set, overrides the master URL — used to
+  * run the SAME ladder under `spark-submit --master
+  * local-cluster[N,cores,memMB]`, Spark's pseudo-cluster mode that
+  * launches N REAL executor JVMs (separate processes, real RPC,
+  * netty shuffle, kryo/java serialization between driver and
+  * executors). That is the closest this sandbox gets to the
+  * north_rule's literal "N and 4N executors": 1 executor vs 4
+  * executors of 4 cores each, instead of one fat local JVM with more
+  * threads. `cores` must then be the TOTAL core count across
+  * executors (drives shuffle partitions + the JSON record).
+  *
   * The headline metric is candidate-pairs SCORED per second
   * (BASELINE.json:2): inputs (records, candidate pairs) are materialized
   * before the timer; the timed section is exactly the batched scoring
@@ -41,8 +52,9 @@ object BenchScale {
     } else Tiers.Bench
     val replication = if (args.length > 2) args(2).toInt else 16
 
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
     val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -186,7 +198,7 @@ object BenchScale {
     val pps = nScoredPerPass / scoringSec
     val refPps = nScoredPerPass / refSec
     val rulePps = nScoredPerPass / ruleSec
-    println(s"""{"cores":$cores,"tier":"${tier.name}","n_pairs":$nPairs,""" +
+    println(s"""{"cores":$cores,"master":"$master","tier":"${tier.name}","n_pairs":$nPairs,""" +
       s""""replication":$replication,"n_matches":${nMatches / replication},""" +
       s""""n_entities":$nEntities,"scored_per_pass":$nScoredPerPass,""" +
       s""""scoring_sec":$scoringSec,"scoring_sec_median":$scoringSecMed,""" +
