@@ -4,7 +4,60 @@ the BENCH.md round-4 scaling table: per-kernel throughput by core count
 across repeats, plus N->4N efficiency computed WITHIN each repeat (same
 tenancy window) and the across-repeat median, mirroring the round-3
 protocol so the two rounds are directly comparable."""
-import json, glob, statistics, sys
+import json, glob, statistics, sys, re, collections
+
+if len(sys.argv) > 1 and sys.argv[1] == "--cluster":
+    # Pseudo-cluster ladder (tools/cluster_ladder.sh): one file per
+    # repeat, legs cores=4 (local-cluster[1,4,..]) and cores=16
+    # (local-cluster[4,4,..]); repeats grouped by replication series
+    # (pass length). Reproduces the BENCH.md per-series tables.
+    series = collections.defaultdict(list)  # replication -> [(tag, rows)]
+    for path in sorted(glob.glob("bench/scale_r4_cluster_rep*.jsonl")):
+        rows = {}
+        with open(path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln:
+                    r = json.loads(ln)
+                    rows[r["cores"]] = r
+        if rows:
+            tag = re.search(r"rep(\w+)\.jsonl$", path).group(1)
+            series[next(iter(rows.values())).get("replication", 4)].append((tag, rows))
+    if not series:
+        sys.exit("no cluster ladder files found")
+    for repl in sorted(series):
+        reps = series[repl]
+        print(f"\n## replication {repl} ({len(reps)} repeats: "
+              f"{', '.join(t for t, _ in reps)})")
+        print("| repeat | fast 1x4 med/best | fast 4x4 med/best | "
+              "ref 1x4 med/best | ref 4x4 med/best | "
+              "fast eff med/best | ref eff med/best |")
+        print("|---" * 7 + "|")
+        agg = {k: ([], []) for k, _ in
+               [("fast", "pairs_per_sec"), ("ref", "ref_kernel_pairs_per_sec")]}
+        for tag, rows in reps:
+            if 4 not in rows or 16 not in rows:
+                print(f"| rep{tag} | (incomplete: legs {sorted(rows)}) |")
+                continue
+            cells, effs = [], []
+            for kshort, key in [("fast", "pairs_per_sec"),
+                                ("ref", "ref_kernel_pairs_per_sec")]:
+                for c in (4, 16):
+                    cells.append(f"{rows[c][key + '_median']:,.0f} / "
+                                 f"{rows[c][key]:,.0f}")
+                em = (rows[16][key + "_median"] / rows[4][key + "_median"]) / 4
+                eb = (rows[16][key] / rows[4][key]) / 4
+                agg[kshort][0].append(em)
+                agg[kshort][1].append(eb)
+                effs.append(f"{em:.3f} / {eb:.3f}")
+            print(f"| rep{tag} | " + " | ".join(cells + effs) + " |")
+        for kshort in ("fast", "ref"):
+            em, eb = agg[kshort]
+            if em:
+                print(f"{kshort} median of {len(em)}: "
+                      f"{statistics.median(em):.3f} med-based / "
+                      f"{statistics.median(eb):.3f} best-based")
+    sys.exit(0)
 
 reps = []
 for path in sorted(glob.glob("bench/scale_r4_rep*.jsonl") or
