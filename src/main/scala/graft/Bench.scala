@@ -37,7 +37,7 @@ object Bench {
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
       // starvation-proof the in-process executor (see LocalHardening)
-      .config(graft.util.LocalHardening.resilience)
+      .config(graft.util.LocalHardening.resilienceFor(s"local[$cpus]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

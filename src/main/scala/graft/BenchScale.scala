@@ -73,7 +73,7 @@ object BenchScale {
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
       // starvation-proof the in-process executor (see LocalHardening)
-      .config(graft.util.LocalHardening.resilience)
+      .config(graft.util.LocalHardening.resilienceFor(master))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -49,7 +49,7 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // starvation-proof the in-process executor (see LocalHardening)
-      .config(graft.util.LocalHardening.resilience)
+      .config(graft.util.LocalHardening.resilienceFor("local[8]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -56,7 +56,7 @@ object Verify {
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
       // starvation-proof the in-process executor (see LocalHardening)
-      .config(graft.util.LocalHardening.resilience)
+      .config(graft.util.LocalHardening.resilienceFor(s"local[$cpus]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

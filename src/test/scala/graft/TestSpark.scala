@@ -14,7 +14,7 @@ object TestSpark {
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
       // starvation-proof the in-process executor (see LocalHardening)
-      .config(graft.util.LocalHardening.resilience)
+      .config(graft.util.LocalHardening.resilienceFor("local[4]"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -19,6 +19,13 @@ if len(sys.argv) > 1 and sys.argv[1] == "--cluster":
                 ln = ln.strip()
                 if ln:
                     r = json.loads(ln)
+                    if r["cores"] in rows:
+                        # cluster_ladder.sh appends with >>, so a rerun
+                        # under the same tag would silently mix legs from
+                        # different runs; make that loud instead.
+                        print(f"WARNING: {path} has multiple cores={r['cores']} "
+                              "lines (rerun under the same tag?); keeping the last",
+                              file=sys.stderr)
                     rows[r["cores"]] = r
         if rows:
             tag = re.search(r"rep(\w+)\.jsonl$", path).group(1)
@@ -37,7 +44,8 @@ if len(sys.argv) > 1 and sys.argv[1] == "--cluster":
                [("fast", "pairs_per_sec"), ("ref", "ref_kernel_pairs_per_sec")]}
         for tag, rows in reps:
             if 4 not in rows or 16 not in rows:
-                print(f"| rep{tag} | (incomplete: legs {sorted(rows)}) |")
+                print(f"| rep{tag} | (incomplete: legs {sorted(rows)}) |"
+                      + " — |" * 5)
                 continue
             cells, effs = [], []
             for kshort, key in [("fast", "pairs_per_sec"),
@@ -68,6 +76,10 @@ for path in sorted(glob.glob("bench/scale_r4_rep*.jsonl") or
             ln = ln.strip()
             if ln:
                 r = json.loads(ln)
+                if r["cores"] in rows:
+                    print(f"WARNING: {path} has multiple cores={r['cores']} "
+                          "lines (rerun under the same tag?); keeping the last",
+                          file=sys.stderr)
                 rows[r["cores"]] = r
     if rows:
         reps.append((path, rows))
