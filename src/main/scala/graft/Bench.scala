@@ -144,6 +144,10 @@ object Bench {
         s"[bench] sql_universe rows=${Stages.sqlUniversePairs(spark, sfDir).count()}"))
       timed("sql_scored")(Stages.sqlUniverseScored(spark, sfDir))
       timed("cc_full")(Stages.ccFull(spark, sfDir))
+      timed("pair_sets") {
+        Stages.truthPairsUniverse(spark, sfDir)
+        Stages.predPairsUniverse(spark, sfDir)
+      }
       timed("full_pairs")(System.err.println(
         s"[bench] full_pairs rows=${Stages.fullPairs(spark, sfDir).count()}"))
       timed("full_scored")(Stages.fullScored(spark, sfDir))

@@ -40,6 +40,11 @@ object Contract {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonString(sfDir)},"failed":$failed,"warmup_sec":$warmupSec,"stages_warmup_sec":$stagesWarmupSec,"gc_pause_sec":$gcPauseSec,"partial":$partial}"""
+    // stage-cache attribution: a warm stages_warmup_sec only means what
+    // it claims if the record says how many stages were disk-cache loads
+    // vs real builds in THIS JVM
+    val loads = Stages.diskLoads.get
+    val builds = Stages.diskBuilds.get
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonString(sfDir)},"failed":$failed,"warmup_sec":$warmupSec,"stages_warmup_sec":$stagesWarmupSec,"stages_disk_loads":$loads,"stages_disk_builds":$builds,"gc_pause_sec":$gcPauseSec,"partial":$partial}"""
   }
 }

@@ -1,35 +1,157 @@
 package graft
 
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import java.util.concurrent.atomic.AtomicInteger
+
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
+import graft.io.ParquetTableIO
 import graft.ops._
 
-/** Session-scoped cache of the heavy intermediates shared by many
-  * `SparkEntry.queries` entries (records, candidate universe, scored
-  * pairs, CC labels). Verify and Bench run ~30 queries sequentially in
-  * one SparkSession; without this every query would recompute
-  * collapse+features from raw turns — the cache mirrors what the
-  * production pipeline gets from its stage checkpoints.
+/** Cache of the heavy intermediates shared by many `SparkEntry.queries`
+  * entries (records, candidate universe, scored pairs, CC labels).
+  * Verify and Bench run ~50 queries sequentially in one SparkSession;
+  * without this every query would recompute collapse+features from raw
+  * turns — the cache mirrors what the production pipeline gets from its
+  * stage checkpoints.
   *
-  * Persisted MEMORY_AND_DISK and keyed by (stage, sfDir); deterministic
-  * inputs ⇒ cache reuse never changes results.
+  * Two layers, both keyed by (stage, sfDir):
+  *  - in-JVM: persisted MEMORY_AND_DISK, materialized eagerly;
+  *  - on-disk (round-4 VERDICT "Next round" #1): fingerprint-guarded
+  *    parquet under `target/graft-stages/`, via the same ParquetTableIO
+  *    machinery the pipeline checkpoints with. Verify and Bench are
+  *    separate JVMs and each paid the full records→universe→scored→cc
+  *    rebuild (BENCH_r04: 135 s stages warmup vs 115 s for all 51
+  *    queries); a later JVM now loads what an earlier one built. The
+  *    guard fingerprint covers BOTH the inputs (generated tier corpus +
+  *    the sfDir's raw parquet, by name/size/mtime) and the compiled
+  *    classes tree, so editing any code or regenerating any input
+  *    invalidates every cached stage — staleness cannot survive a
+  *    recompile, with no version constant to forget to bump. Disable
+  *    with GRAFT_STAGE_CACHE=0 (BenchScale-style measurement runs must
+  *    time the real build).
+  *
+  * Deterministic stage derivations ⇒ cache reuse never changes results
+  * (and the DuckDB oracle suite, derived independently from the raw
+  * transcripts, would flag it if it did).
   */
 object Stages {
 
   private val cache = TrieMap[(String, String), DataFrame]()
 
+  /** Disk-layer observability for the Bench/Verify logs and the bench
+    * JSON line: how many stages were loaded from a previous JVM's cache
+    * vs built (and written) in this one.
+    */
+  val diskLoads = new AtomicInteger(0)
+  val diskBuilds = new AtomicInteger(0)
+
+  private def diskEnabled: Boolean =
+    !sys.env.get("GRAFT_STAGE_CACHE").contains("0")
+
+  private def diskRoot: String =
+    sys.env.getOrElse("GRAFT_STAGE_CACHE_DIR", "/root/repo/target/graft-stages")
+
+  /** One digest over every (relative-path, size, mtime) under `root` —
+    * file CONTENT is deliberately not read: corpus regeneration and
+    * recompilation both touch mtimes, and hashing 26 MB of parquet per
+    * check would cost a measurable slice of what the cache saves.
+    */
+  private def treeListing(root: Path): String =
+    if (!Files.exists(root)) s"absent:$root"
+    else {
+      val walk = Files.walk(root)
+      try
+        walk.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => s"${root.relativize(p)}:${Files.size(p)}:" +
+            s"${Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString("\n")
+      finally walk.close()
+    }
+
+  private def md5(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Fingerprint of the compiled code, computed once per JVM: the sbt
+    * classes tree when present (the Verify/Bench/test path), else the
+    * classpath jar entries (the spark-submit/packaged path).
+    */
+  private lazy val codeFingerprint: String = {
+    val classes = Paths.get("/root/repo/target/scala-2.13/classes")
+    val listing =
+      if (Files.exists(classes)) treeListing(classes)
+      else sys.props.getOrElse("java.class.path", "")
+        .split(java.io.File.pathSeparator)
+        .filter(_.endsWith(".jar"))
+        .map { j =>
+          val p = Paths.get(j)
+          if (Files.exists(p))
+            s"$j:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+          else s"$j:absent"
+        }.toSeq.sorted.mkString("\n")
+    md5(listing)
+  }
+
+  /** Inputs + code fingerprint for `dir`'s stages. Generates the tier
+    * corpus first if absent (it is itself an input — fingerprinting a
+    * not-yet-generated corpus would record a fingerprint the next JVM
+    * could never match).
+    */
+  private val fpCache = TrieMap[String, String]()
+
+  private def fingerprint(s: SparkSession, dir: String): String =
+    fpCache.getOrElseUpdate(dir, {
+      Tiers.ensureTranscripts(s, Tiers.tierFor(dir))
+      val tierData = Paths.get(Tiers.dataDir(Tiers.tierFor(dir)))
+      md5(Seq(codeFingerprint, treeListing(tierData),
+        treeListing(Paths.get(dir))).mkString("|"))
+    })
+
+  private def dirKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
+
   def cached(name: String, dir: String)(f: => DataFrame): DataFrame =
     cache.getOrElseUpdate((name, dir), {
-      val df = f.persist(StorageLevel.MEMORY_AND_DISK)
+      val df = loadOrBuild(name, dir)(f).persist(StorageLevel.MEMORY_AND_DISK)
       // materialize eagerly at the plan's own parallelism so a later
       // single-partition consumer (e.g. a repartition(1) write) can't be
       // the first to compute it
       df.count()
       df
     })
+
+  /** Serve `name` from the disk cache when its manifest fingerprint
+    * matches the current inputs+code; else build it and write it back
+    * (returning the post-write re-read, which also truncates the plan
+    * for iterative consumers). Needs a SparkSession to read/fingerprint,
+    * so it reaches into the active one — every caller of cached() has
+    * already created it.
+    */
+  private def loadOrBuild(name: String, dir: String)(f: => DataFrame): DataFrame = {
+    if (!diskEnabled) return f
+    val spark = SparkSession.active
+    val io = new ParquetTableIO(s"$diskRoot/${dirKey(dir)}")
+    val fp = fingerprint(spark, dir)
+    if (io.manifestInputFingerprint(name).contains(fp)) {
+      diskLoads.incrementAndGet()
+      System.err.println(s"[stages] $name@${Tiers.tierFor(dir).name}: disk cache hit")
+      io.read(spark, name)
+    } else {
+      diskBuilds.incrementAndGet()
+      val t0 = System.nanoTime()
+      val back = io.write(f, name, s"stages-${System.currentTimeMillis()}", fp)
+      System.err.println(f"[stages] $name@${Tiers.tierFor(dir).name}: " +
+        f"built + cached in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      back
+    }
+  }
 
   def records(s: SparkSession, dir: String): DataFrame =
     cached("records", dir) {
@@ -117,6 +239,33 @@ object Stages {
         Scoring.matchEdges(sqlUniverseScored(s, dir)),
         recs.select(org.apache.spark.sql.functions.col("conv_id")))
     }
+
+  /** Truth-induced pair set (cluster-size-capped, same derivation as
+    * ErMetrics.pairwise's truth side), shared by the F1 / blocking-recall
+    * family (round-4 VERDICT "What's wrong" #1 / "Next round" #2: each
+    * metric query re-induced and re-restricted the same pair sets —
+    * er_f1_sql alone re-paid both sides per call, 3.2 s → 13.3 s cost
+    * class by round 4; cached once here they are a cheap join probe).
+    */
+  def truthPairs(s: SparkSession, dir: String): DataFrame =
+    cached("truth_pairs", dir)(
+      ErMetrics.inducedPairs(Tiers.labelsFor(s, dir)))
+
+  /** Truth pairs restricted to the SQL candidate universe — the "at
+    * shared blocking keys" truth side of er_f1_sql / er_trained_f1.
+    */
+  def truthPairsUniverse(s: SparkSession, dir: String): DataFrame =
+    cached("truth_pairs_universe", dir)(
+      truthPairs(s, dir).join(sqlUniversePairs(s, dir),
+        Seq("a_id", "b_id"), "left_semi"))
+
+  /** Predicted pairs induced by the full-universe CC labeling, restricted
+    * to the SQL candidate universe — er_f1_sql's predicted side.
+    */
+  def predPairsUniverse(s: SparkSession, dir: String): DataFrame =
+    cached("pred_pairs_universe", dir)(
+      ErMetrics.inducedPairs(ccFull(s, dir)).join(sqlUniversePairs(s, dir),
+        Seq("a_id", "b_id"), "left_semi"))
 
   /** Cached document shingle sets + MinHash bands, shared by the dedup
     * family (round-3 VERDICT "What's wrong" #5: dedup_ngram and

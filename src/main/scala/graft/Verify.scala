@@ -30,6 +30,8 @@ object Verify {
     "er_collapse", "er_pairs_sql_universe", "er_match_edges",
     "er_cc_full", "er_bands_minhash", "er_candidate_pairs",
     "er_scored_pairs", "er_cc_pipeline",
+    // self-contained t1 chain (generates the t1 corpus its oracle reads)
+    "er_swoosh_full",
     // cheap consumers of the session caches
     "er_strong_keys", "er_tokens", "er_shingles", "er_split",
     "er_blocks_strong", "er_blocks_token", "er_blocks_time",

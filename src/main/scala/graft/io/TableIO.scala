@@ -37,6 +37,20 @@ class ParquetTableIO(root: String) extends TableIO {
     Files.exists(Paths.get(manifestPath(stage))) &&
       Files.exists(Paths.get(dataPath(stage), "_SUCCESS"))
 
+  /** The input fingerprint recorded in the stage's manifest, or None if
+    * the stage is absent/incomplete. The write order below (data first,
+    * manifest last) makes this the freshness check for cross-JVM cache
+    * reuse: a kill mid-write leaves either no manifest or a manifest
+    * whose fingerprint no longer matches the caller's current one.
+    */
+  def manifestInputFingerprint(stage: String): Option[String] =
+    if (!exists(stage)) None
+    else {
+      val m = Files.readString(Paths.get(manifestPath(stage)))
+      """"input_fingerprint":"([^"]*)"""".r
+        .findFirstMatchIn(m).map(_.group(1))
+    }
+
   override def read(spark: SparkSession, stage: String): DataFrame =
     spark.read.parquet(dataPath(stage))
 

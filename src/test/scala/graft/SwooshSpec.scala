@@ -54,6 +54,26 @@ class SwooshSpec extends AnyFunSuite {
     ("A", "A"), ("B", "A"), ("C", "C"), ("G", "G")
   ).toDF("conv_id", "entity_id")
 
+  // er_swoosh_full's oracle is ONE bucket-free refine round in SQL; the
+  // Spark side runs refineToFixpoint. They can only agree because at the
+  // t1 tier the first full round is already the fixpoint (the corpus has
+  // no fragment-bridge entities there) — pin that premise, so a future
+  // generator change that breaks it fails HERE with a readable message
+  // instead of as an oracle hash mismatch.
+  test("t1 corpus: full-catalog refine converges in one round (er_swoosh_full premise)") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = Stages.ccFull(spark, dir)
+    val once = Swoosh.refine(Stages.records(spark, dir), labels)
+    val moved = once.alias("o")
+      .join(labels.alias("l"), Seq("conv_id"))
+      .filter(org.apache.spark.sql.functions.col("o.entity_id") =!=
+        org.apache.spark.sql.functions.col("l.entity_id"))
+      .count()
+    assert(moved == 0,
+      s"t1 refine moved $moved labels; er_swoosh_full's one-round SQL " +
+        "oracle no longer matches refineToFixpoint — regenerate the oracle")
+  }
+
   test("delta-driven fixpoint reaches the same labeling as iterated full refine") {
     val fix = Swoosh.refineToFixpoint(chainRecs, chainInitial)
       .as[(String, String)].collect().toMap

@@ -24,6 +24,33 @@ class TrainingSpec extends AnyFunSuite {
     assert(acc >= 0.95, s"accuracy $acc")
   }
 
+  // er_trained_f1 is the suite's one sanctioned rows-only driver query
+  // (a spark.ml fit is not SQL-expressible); golden-pinning the fitted
+  // weights makes it value-pinned anyway (round-4 VERDICT "Next round"
+  // #7). The fit is deterministic: the t1 corpus is seed-generated, the
+  // balanced sample is md5-bucketed, and Training pins LBFGS to one
+  // partition — measured run-to-run drift is ~1e-13 (pure fp-summation
+  // order from upstream row order), so 1e-6 is 7 orders of margin while
+  // still failing loudly on any real change to sampling, features, or
+  // the fit configuration.
+  test("fitted t1 weights match the golden values") {
+    val dir = "/root/testdata/sf0.001"
+    val truth = Tiers.labelsFor(spark, dir)
+    val feats = Stages.sqlUniverseScored(spark, dir).drop("score", "is_match")
+    val sample = graft.ops.Sampling.balancedLabeledPairs(
+      graft.ops.Sampling.labeledPairs(feats, truth))
+    val w = Training.fitWeights(sample)
+    val golden = Map(
+      "bias" -> -11.001077424853815, "strong" -> 2.7131176157294092,
+      "jaccard" -> 10.451651323204025, "lev" -> 6.106918039627646,
+      "jw" -> 2.7966700653589935)
+    val got = Map("bias" -> w.bias, "strong" -> w.strong,
+      "jaccard" -> w.jaccard, "lev" -> w.lev, "jw" -> w.jw)
+    golden.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-6, s"$k: got ${got(k)}, golden $v")
+    }
+  }
+
   test("trained scorer F1 ≥ fixed-weight F1 on the t1 tier (driver-contract queries)") {
     val dir = "/root/testdata/sf0.001"
     val fixed = SparkEntry.queries("er_f1_sql")(spark, dir)
