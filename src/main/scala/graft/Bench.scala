@@ -148,6 +148,7 @@ object Bench {
         Stages.truthPairsUniverse(spark, sfDir)
         Stages.predPairsUniverse(spark, sfDir)
       }
+      timed("attach_catalog")(Stages.attachCatalog(spark, sfDir))
       timed("full_pairs")(System.err.println(
         s"[bench] full_pairs rows=${Stages.fullPairs(spark, sfDir).count()}"))
       timed("full_scored")(Stages.fullScored(spark, sfDir))
