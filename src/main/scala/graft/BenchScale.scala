@@ -198,6 +198,31 @@ object BenchScale {
     val pps = nScoredPerPass / scoringSec
     val refPps = nScoredPerPass / refSec
     val rulePps = nScoredPerPass / ruleSec
+
+    // Kernel-throughput regression band (round-5 VERDICT "Next round"
+    // #5): the round-5 ladder proved the kernel unchanged (1.04 M vs
+    // 1.06 M pairs/s) only by manual comparison across rounds. Encode
+    // the tracked records — warn LOUDLY when a 32-core bench-tier run's
+    // median drops more than 25% below, so a silent kernel regression
+    // can't hide inside a tenancy-noisy round. Medians (not minima):
+    // the min is the steady-state ceiling, the median is what repeats
+    // reproduce. In-JVM local[NN] masters only — local-cluster ladders
+    // measure a different (serialization-bound) configuration.
+    if (cores == 32 && tier == Tiers.Bench && master == "local[32]") {
+      val trackedFastMed = 1.04e6 // round-5 median-of-medians, local[32]
+      val trackedRefMed = 4.41e5  // round-4/5 band 441k-461k
+      def band(label: String, got: Double, tracked: Double): Unit =
+        if (got < 0.75 * tracked)
+          System.err.println(f"[REGRESSION-BAND] $label median " +
+            f"$got%.0f pairs/s is >25%% below the tracked record " +
+            f"$tracked%.0f — investigate before attributing to tenancy " +
+            f"(see BENCH.md round 6)")
+        else
+          System.err.println(f"[band] $label median $got%.0f pairs/s " +
+            f"within 25%% of tracked $tracked%.0f")
+      band("fast-kernel", nScoredPerPass / scoringSecMed, trackedFastMed)
+      band("ref-kernel", nScoredPerPass / refSecMed, trackedRefMed)
+    }
     println(s"""{"cores":$cores,"master":"$master","tier":"${tier.name}","n_pairs":$nPairs,""" +
       s""""replication":$replication,"n_matches":${nMatches / replication},""" +
       s""""n_entities":$nEntities,"scored_per_pass":$nScoredPerPass,""" +

@@ -39,8 +39,12 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    // single master val feeding BOTH .master() and resilienceFor() — two
+    // literals can drift and silently key the hardening off the wrong
+    // master string (round-5 ADVICE item 4)
+    val master = "local[8]"
     val spark = SparkSession.builder()
-      .master("local[8]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", "8")
       // AQE off here ONLY: finalized adaptive plans don't render their
       // per-stage WholeStageCodegen wrapping in any explain mode, which
@@ -49,7 +53,7 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // starvation-proof the in-process executor (see LocalHardening)
-      .config(graft.util.LocalHardening.resilienceFor("local[8]"))
+      .config(graft.util.LocalHardening.resilienceFor(master))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

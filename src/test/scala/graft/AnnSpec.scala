@@ -71,6 +71,18 @@ class AnnSpec extends AnyFunSuite {
     assert(r5 > 0.5, s"multi-probe recall too low: $r5")
   }
 
+  test("lshBucketStats: sizes cover the corpus, buckets in range") {
+    val dim = 16
+    val stats = Ann.lshBucketStats(embs, numPlanes = 6, dim = dim)
+      .as[(Long, Long)].collect()
+    assert(stats.map(_._2).sum == 100L) // every corpus vector in exactly one bucket
+    assert(stats.forall { case (b, n) => b >= 0L && b < 64L && n >= 1L })
+    // bucket assignment is the same lshBucket derivation lshTopK uses,
+    // so the max bucket size here bounds every probe's scan cost — the
+    // telemetry's whole point
+    assert(stats.length > 1, "degenerate: all vectors in one bucket")
+  }
+
   test("hyperplanes are deterministic Rademacher") {
     val p1 = Ann.hyperplanes(4, 8)
     val p2 = Ann.hyperplanes(4, 8)

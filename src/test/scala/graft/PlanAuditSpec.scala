@@ -55,6 +55,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_exact plan: agg+join, no window over group_key") {
+    withAqeOff {
+      // a window partitioned by group_key buffers each duplicate group in
+      // one task's sorter and cannot AQE-split — the degenerate-group
+      // shape round 6 rewrote away (round-5 VERDICT "Next round" #2)
+      val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+        .toDF("doc_id", "text")
+      val plan = formatted(graft.dedup.Dedup.exact(docs))
+      assert(!plan.contains("Window"),
+        "dedup_exact regressed to a window over group_key")
+      assert(plan.contains("HashAggregate"),
+        "dedup_exact group stats must come from a partial aggregation")
+    }
+  }
+
   test("parquet scan: filter pushed down and read schema pruned") {
     withAqeOff {
       val sf = "/root/testdata/sf0.001"

@@ -24,6 +24,17 @@ class StagesSpec extends AnyFunSuite {
     assert(direct.except(composed).count() == 0L)
   }
 
+  test("delta-composed pairsUniverse3 equals candidatePairs over the three families") {
+    val composed = Stages.pairsUniverse3(spark, dir)
+    val direct = Pairs.candidatePairs(
+      Stages.strongBlocks(spark, dir)
+        .unionByName(Stages.tokenBlocks(spark, dir))
+        .unionByName(Stages.timeBlocks(spark, dir)))
+    assert(composed.count() == direct.count())
+    assert(composed.except(direct).count() == 0L)
+    assert(direct.except(composed).count() == 0L)
+  }
+
   test("sqlUniversePairs is a subset of fullPairs") {
     val missing = Stages.sqlUniversePairs(spark, dir)
       .join(Stages.fullPairs(spark, dir), Seq("a_id", "b_id"), "left_anti")
