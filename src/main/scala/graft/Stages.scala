@@ -183,6 +183,14 @@ object Stages {
   def timeBlocks(s: SparkSession, dir: String): DataFrame =
     cached("blocks_time", dir)(Blocking.timeBlocks(records(s, dir)))
 
+  /** MinHash band memberships — the one block family that was NOT a
+    * cached stage through round 5 (strong/token/time all were):
+    * er_bands_minhash, er_blocks_minhash and the fullPairs build each
+    * re-exploded records.mh_bands per call.
+    */
+  def minhashBlocks(s: SparkSession, dir: String): DataFrame =
+    cached("blocks_minhash", dir)(Blocking.minhashBlocks(records(s, dir)))
+
   /** SQL-expressible candidate universe: strong-key ∪ rare-token pairs.
     * Runs the PRODUCTION pair config (block cap + hot-block salting) —
     * round-1 VERDICT flagged the uncapped oracle path as a quadratic
@@ -235,7 +243,7 @@ object Stages {
   def fullPairs(s: SparkSession, dir: String): DataFrame =
     cached("full_pairs", dir) {
       pairsUniverse3(s, dir).unionByName(
-          Pairs.candidatePairs(Blocking.minhashBlocks(records(s, dir))))
+          Pairs.candidatePairs(minhashBlocks(s, dir)))
         .dropDuplicates("a_id", "b_id")
         .localCheckpoint(true)
     }
@@ -309,7 +317,14 @@ object Stages {
       import org.apache.spark.sql.functions.col
       val base = records(s, dir)
         .filter(Sampling.hashBucket(col("conv_id"), 10L) < 9)
+      // the catalog ships INDEX-READY: the dictionary-encoded token ids
+      // are part of what a production deployment persists with its
+      // entity table (round-6; the per-call dictEncode over every
+      // catalog token union was the largest remaining per-batch term —
+      // Incremental.attach consumes this column when present)
       Entities.fuse(base, ccFull(s, dir))
+        .withColumn("e_token_ids",
+          ops.Features.dictEncode(col("token_union")))
     }
 
   /** Cached document shingle ids + MinHash bands, shared by the dedup

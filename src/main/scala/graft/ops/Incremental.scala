@@ -57,10 +57,20 @@ object Incremental {
     // Swoosh.refine's fused-catalog checkpoint): it feeds three separate
     // subtrees of the plan (strong index, token index + df-caps, and the
     // scoring hydration join), and without this each re-ran the
-    // catalog-wide dictEncode pass
-    val ent = entities.select(col("entity_id"),
-      Features.dictEncode(col("token_union")).as("e_token_ids"),
-      col("strong_keys_union")).localCheckpoint(true)
+    // catalog-wide dictEncode pass. A catalog that already carries
+    // `e_token_ids` (Stages.attachCatalog ships index-ready — what a
+    // production deployment persists with its entity table) skips the
+    // per-batch dictEncode entirely; the ids are the same
+    // Features.dictEncode(token_union) either way, so candidates and
+    // scores are identical.
+    val ent = (if (entities.columns.contains("e_token_ids")) {
+      entities.select(col("entity_id"), col("e_token_ids"),
+        col("strong_keys_union"))
+    } else {
+      entities.select(col("entity_id"),
+        Features.dictEncode(col("token_union")).as("e_token_ids"),
+        col("strong_keys_union"))
+    }).localCheckpoint(true)
     // entity-side inverted indexes; token keys df-capped ON THE CATALOG
     // (a token present in > cap entities separates nothing). The token
     // index is keyed by the 8-byte dictionary ids, not the strings —
