@@ -86,13 +86,14 @@ object SparkEntry {
     "er_blocks_token" -> ((s, dir) =>
       Blocking.blockSizes(Stages.tokenBlocks(s, dir))),
     "er_blocks_minhash" -> ((s, dir) =>
-      Blocking.blockSizes(Stages.minhashBlocks(s, dir))),
+      Blocking.blockSizes(Blocking.minhashBlocks(records(s, dir)))),
     // band MEMBERSHIPS (conv_id, bkey) — the hub dump that carries the
     // one full pure-SQL derivation of the md5 MinHash bank; the
     // er_blocks_minhash sizes and the er_candidate_pairs 4-family
     // universe oracles read it instead of re-paying the bank (~49 s of
     // DuckDB each at t2).
-    "er_bands_minhash" -> ((s, dir) => Stages.minhashBlocks(s, dir)),
+    "er_bands_minhash" -> ((s, dir) =>
+      Blocking.minhashBlocks(records(s, dir))),
     "er_blocks_time" -> ((s, dir) =>
       Blocking.blockSizes(Stages.timeBlocks(s, dir))),
     "er_dropped_blocks" -> ((s, dir) =>

@@ -183,13 +183,14 @@ object Stages {
   def timeBlocks(s: SparkSession, dir: String): DataFrame =
     cached("blocks_time", dir)(Blocking.timeBlocks(records(s, dir)))
 
-  /** MinHash band memberships — the one block family that was NOT a
-    * cached stage through round 5 (strong/token/time all were):
-    * er_bands_minhash, er_blocks_minhash and the fullPairs build each
-    * re-exploded records.mh_bands per call.
-    */
-  def minhashBlocks(s: SparkSession, dir: String): DataFrame =
-    cached("blocks_minhash", dir)(Blocking.minhashBlocks(records(s, dir)))
+  // NOTE deliberately NOT cached: the MinHash band memberships. A
+  // cached blocks_minhash stage was tried in round 6 and MEASURED
+  // net-negative — the explode over the in-memory records.mh_bands is
+  // already cheap (er_bands_minhash 0.21 s), while holding the ~1.4M
+  // exploded band strings in the storage pool displaced other stages'
+  // blocks and showed up as churn on unrelated storage-allocating
+  // queries (dedup_exact, er_entities). Guide §1: measure, then keep
+  // only what pays.
 
   /** SQL-expressible candidate universe: strong-key ∪ rare-token pairs.
     * Runs the PRODUCTION pair config (block cap + hot-block salting) —
@@ -243,7 +244,7 @@ object Stages {
   def fullPairs(s: SparkSession, dir: String): DataFrame =
     cached("full_pairs", dir) {
       pairsUniverse3(s, dir).unionByName(
-          Pairs.candidatePairs(minhashBlocks(s, dir)))
+          Pairs.candidatePairs(Blocking.minhashBlocks(records(s, dir))))
         .dropDuplicates("a_id", "b_id")
         .localCheckpoint(true)
     }
