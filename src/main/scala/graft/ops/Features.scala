@@ -155,9 +155,15 @@ object Features {
     * 10¹⁰ tokens at twice the key bytes (still 4-16× narrower than the
     * raw strings). Not done here: the sandbox tiers sit 5 orders of
     * magnitude below where 64-bit exposure becomes measurable.
+    *
+    * Implemented since round 6 as the native codegen expression
+    * graft.functions.DictEncode64 (the former
+    * array_sort∘array_distinct∘transform(xxhash64) chain evaluated its
+    * transform interpreted per row); values are bit-identical —
+    * NativeFoldSpec pins raw equality against the HOF formulation.
     */
   def dictEncode(valueSet: Column): Column =
-    array_sort(array_distinct(transform(valueSet, x => xxhash64(x))))
+    graft.functions.DictEncode64.dictEncode64(valueSet)
 
   /** Enrich collapsed records with every feature the pipeline needs.
     * Input: collapse() output. Output adds:

@@ -59,6 +59,22 @@ class NativeFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("DictEncode64 is identical to array_sort∘array_distinct∘transform(xxhash64)") {
+    val sets = Seq(
+      Seq("the", "quick", "brown", "fox", "the", "fox"), // dups
+      Seq("one"),
+      Seq.empty[String],
+      Seq("unicode", "tøkens", "日本語", "mixed", "case", "日本語"),
+      (1 to 500).map(i => s"tok${i % 200}") // heavy dup tail
+    ).toDF("vals")
+    val hof = array_sort(array_distinct(transform(col("vals"), x => xxhash64(x))))
+    val rows = sets.select(
+      graft.ops.Features.dictEncode(col("vals")).as("fast"),
+      hof.as("ref")).as[(Seq[Long], Seq[Long])].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (f, r) => assert(f == r) }
+  }
+
   test("Simhash64 expression is bit-identical to the HOF vote fold") {
     // the exact round-5 Features.simhash64 formulation, inlined
     def hofSimhash(tokens: org.apache.spark.sql.Column) = {
